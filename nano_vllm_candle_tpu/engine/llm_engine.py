@@ -1,0 +1,150 @@
+"""Generic continuous-batching engine driver.
+
+Mirrors ``/root/reference/src/engine/llm_engine.rs``: a model-agnostic
+``LLMEngine`` generic over a one-method ``ModelRunner`` seam
+(``llm_engine.rs:16-18``), with ``add_request`` / ``step`` / ``is_finished``
+/ ``generate`` (228-325), ``StepOutput``'s signed token-count convention
+(253-257: positive = prefill tokens, negative = decode batch size), and the
+``DummyModelRunner`` fake (20-33) that lets the whole control plane be
+tested without a model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Dict, List, Optional, Protocol, Sequence as Seq, Tuple
+
+from nano_vllm_candle_tpu.engine.scheduler import Scheduler
+from nano_vllm_candle_tpu.engine.sequence import Sequence
+from nano_vllm_candle_tpu.sampling_params import SamplingParams
+
+logger = logging.getLogger(__name__)
+
+
+class ModelRunner(Protocol):
+    """One-method abstraction decoupling engine from model
+    (``llm_engine.rs:16-18``)."""
+
+    def run(self, seqs: List[Sequence], is_prefill: bool) -> List[int]:
+        """Return the next token id for each scheduled sequence."""
+        ...
+
+
+class DummyModelRunner:
+    """Test fake: next token = last_token + 1 (``llm_engine.rs:20-33``)."""
+
+    def run(self, seqs: List[Sequence], is_prefill: bool) -> List[int]:
+        return [seq.last_token + 1 for seq in seqs]
+
+
+@dataclasses.dataclass
+class GenerationOutput:
+    """Per-request result (``llm_engine.rs:191-212``)."""
+
+    seq_id: int
+    token_ids: List[int]
+    text: Optional[str] = None
+
+    def with_text(self, text: str) -> "GenerationOutput":
+        return dataclasses.replace(self, text=text)
+
+
+@dataclasses.dataclass
+class StepOutput:
+    """One engine step's results (``llm_engine.rs:328-333``)."""
+
+    outputs: List[Tuple[int, List[int]]]  # (seq_id, completion_token_ids)
+    is_prefill: bool
+    # positive = prefill tokens processed; negative = decode batch size
+    # (llm_engine.rs:253-257 sign convention)
+    num_tokens: int
+
+
+class LLMEngine:
+    def __init__(self, scheduler: Scheduler, model_runner: ModelRunner) -> None:
+        logger.info("LLMEngine::new")
+        self.scheduler = scheduler
+        self.model_runner = model_runner
+        # observability (SURVEY.md §5.5): rolling per-step metrics
+        self.metrics: Dict[str, float] = {
+            "steps": 0,
+            "prefill_tokens": 0,
+            "decode_tokens": 0,
+            "preemptions": 0,
+        }
+
+    def add_request(
+        self, token_ids: Seq[int], sampling_params: SamplingParams
+    ) -> int:
+        seq = Sequence(token_ids, sampling_params)
+        logger.debug(
+            "LLMEngine::add_request seq_id=%d prompt_len=%d max_tokens=%d",
+            seq.seq_id, len(token_ids), sampling_params.max_tokens,
+        )
+        self.scheduler.add(seq)
+        return seq.seq_id
+
+    def step(self) -> StepOutput:
+        seqs, is_prefill = self.scheduler.schedule()
+        if not seqs:
+            # All running sequences were preempted this round (impossible in
+            # the reference only because its can_append is constant true).
+            return StepOutput(outputs=[], is_prefill=False, num_tokens=0)
+        token_ids = self.model_runner.run(seqs, is_prefill)
+        self.scheduler.post_process(seqs, token_ids)
+
+        outputs = [
+            (seq.seq_id, list(seq.completion_token_ids))
+            for seq in seqs
+            if seq.is_finished
+        ]
+        if is_prefill:
+            num_tokens = sum(len(s) - 1 - s.num_cached_tokens for s in seqs)
+        else:
+            num_tokens = -len(seqs)
+
+        self.metrics["steps"] += 1
+        if is_prefill:
+            self.metrics["prefill_tokens"] += num_tokens
+        else:
+            self.metrics["decode_tokens"] += len(seqs)
+        self.metrics["preemptions"] = self.scheduler.num_preemptions
+        return StepOutput(outputs=outputs, is_prefill=is_prefill, num_tokens=num_tokens)
+
+    def is_finished(self) -> bool:
+        return self.scheduler.is_finished()
+
+    def generate(
+        self,
+        prompts: Seq[Seq[int]],
+        sampling_params: SamplingParams | Seq[SamplingParams],
+    ) -> List[GenerationOutput]:
+        """Run all prompts to completion (``llm_engine.rs:270-325``)."""
+        if isinstance(sampling_params, SamplingParams):
+            params_list: List[SamplingParams] = [sampling_params] * len(prompts)
+        else:
+            params_list = list(sampling_params)
+        seq_ids = [
+            self.add_request(p, sp) for p, sp in zip(prompts, params_list)
+        ]
+        want = set(seq_ids)
+
+        collected: Dict[int, List[int]] = {}
+        t0 = time.perf_counter()
+        while not self.is_finished():
+            step_out = self.step()
+            for seq_id, completion in step_out.outputs:
+                if seq_id in want:
+                    collected[seq_id] = completion
+            if logger.isEnabledFor(logging.DEBUG):
+                logger.debug(
+                    "step prefill=%s tokens=%d elapsed=%.3fs",
+                    step_out.is_prefill, step_out.num_tokens,
+                    time.perf_counter() - t0,
+                )
+        return [
+            GenerationOutput(seq_id=sid, token_ids=collected.get(sid, []))
+            for sid in seq_ids
+        ]

@@ -1,0 +1,114 @@
+"""Attention ops: packed-prefill and paged-decode (XLA reference paths).
+
+These are the numerically-authoritative XLA implementations; the Pallas
+kernels in ``nano_vllm_candle_tpu.kernels`` are validated against them and
+substituted on TPU. Both replace the reference's naive O(T²)
+host-masked attention (``/root/reference/src/models/qwen3.rs:258-275``) and
+its GQA expand (``qwen3.rs:236-256``) with mask computation on device and a
+grouped-einsum GQA that never materializes repeated K/V.
+
+Shapes follow the paged-KV layout
+``[num_kv_heads, num_pages, page_size, head_dim]`` (the TPU paged-attention
+convention), with per-sequence block tables exactly like the reference's
+``Sequence::block_table`` contract (``/root/reference/src/engine/sequence.rs:18``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def packed_prefill_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    seg_ids: jax.Array,
+    positions: jax.Array,
+    scale: float,
+) -> jax.Array:
+    """Causal self-attention over a packed (multi-sequence) token batch.
+
+    Multiple prompts are concatenated into one ``[T]`` token stream (static
+    T per bucket); ``seg_ids`` marks which request each token belongs to
+    (−1 = padding), ``positions`` its position within that request. A token
+    attends to tokens of the same segment at positions <= its own — the
+    segment-mask formulation of causal batching, which avoids the reference's
+    per-sequence padded ``[B, T, T]`` masks (``llm_engine.rs:60-95``).
+
+    Args:
+      q: ``[T, num_q_heads, head_dim]``.
+      k/v: ``[T, num_kv_heads, head_dim]``.
+      seg_ids: ``[T]`` int32.
+      positions: ``[T]`` int32.
+      scale: softmax scale (1/sqrt(head_dim)).
+
+    Returns:
+      ``[T, num_q_heads, head_dim]`` in q.dtype.
+    """
+    T, nq, hd = q.shape
+    nkv = k.shape[1]
+    g = nq // nkv
+    qg = q.reshape(T, nkv, g, hd)
+
+    # scores[kv_head, group, T_q, T_kv]
+    scores = jnp.einsum(
+        "tkgd,skd->kgts", qg, k, preferred_element_type=jnp.float32
+    ) * scale
+
+    same_seg = seg_ids[:, None] == seg_ids[None, :]
+    causal = positions[None, :] <= positions[:, None]
+    valid = seg_ids[:, None] >= 0
+    mask = same_seg & causal & valid  # [T_q, T_kv]
+    scores = jnp.where(mask[None, None], scores, MASK_VALUE)
+
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("kgts,skd->tkgd", weights.astype(v.dtype), v)
+    return out.reshape(T, nq, hd)
+
+
+def paged_decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    block_tables: jax.Array,
+    seq_lens: jax.Array,
+    scale: float,
+) -> jax.Array:
+    """One-token-per-sequence attention against the paged KV cache.
+
+    Args:
+      q: ``[B, num_q_heads, head_dim]`` — the new token's query per slot.
+      k_cache/v_cache: ``[num_kv_heads, num_pages, page_size, head_dim]``.
+      block_tables: ``[B, max_blocks_per_seq]`` int32 physical page ids
+        (entries past the sequence's pages may be arbitrary valid ids).
+      seq_lens: ``[B]`` int32 — tokens in context *including* the new token
+        (whose k/v must already be written to the cache).
+      scale: softmax scale.
+
+    Returns:
+      ``[B, num_q_heads, head_dim]``.
+    """
+    B, nq, hd = q.shape
+    nkv, _, page_size, _ = k_cache.shape
+    g = nq // nkv
+    W = block_tables.shape[1]
+
+    # Gather each sequence's pages: [nkv, B, W, page_size, hd] -> [nkv, B, S, hd]
+    k = jnp.take(k_cache, block_tables, axis=1).reshape(nkv, B, W * page_size, hd)
+    v = jnp.take(v_cache, block_tables, axis=1).reshape(nkv, B, W * page_size, hd)
+
+    qg = q.reshape(B, nkv, g, hd)
+    scores = jnp.einsum(
+        "bkgd,kbsd->bkgs", qg, k, preferred_element_type=jnp.float32
+    ) * scale
+
+    token_idx = jnp.arange(W * page_size, dtype=jnp.int32)
+    mask = token_idx[None, :] < seq_lens[:, None]  # [B, S]
+    scores = jnp.where(mask[:, None, None, :], scores, MASK_VALUE)
+
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgs,kbsd->bkgd", weights.astype(v.dtype), v)
+    return out.reshape(B, nq, hd)

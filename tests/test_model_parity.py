@@ -1,0 +1,110 @@
+"""Cross-implementation golden tests vs HF transformers (torch CPU).
+
+The reference validates its model against Python nano-vllm activations
+captured as hardcoded goldens (``/root/reference/tests/layer_test.rs:205-314``)
+and byte-level weight-loading parity (382-438). We go one better: build a
+tiny random-init Qwen3 in HF transformers, save it as a real safetensors
+checkpoint, load it through our loader, and compare full logits — covering
+config parse, weight mapping/transposes, and every layer's math in one test.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from nano_vllm_candle_tpu.config import Qwen3Config
+from nano_vllm_candle_tpu.models import qwen3
+from nano_vllm_candle_tpu.utils.loader import load_qwen3_params
+
+TINY = dict(
+    vocab_size=128,
+    hidden_size=64,
+    intermediate_size=96,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=16,
+    rms_norm_eps=1e-6,
+    rope_theta=10000.0,
+    max_position_embeddings=256,
+    bos_token_id=1,
+    eos_token_id=2,
+)
+
+
+def make_hf_checkpoint(tmp_path, tie_word_embeddings):
+    from safetensors.torch import save_file
+
+    hf_cfg = transformers.Qwen3Config(
+        **TINY,
+        tie_word_embeddings=tie_word_embeddings,
+        attention_bias=False,
+        use_cache=False,
+    )
+    torch.manual_seed(0)
+    model = transformers.Qwen3ForCausalLM(hf_cfg).eval().to(torch.float32)
+    state = {k: v.contiguous() for k, v in model.state_dict().items()}
+    if tie_word_embeddings:
+        state.pop("lm_head.weight", None)
+    save_file(state, str(tmp_path / "model.safetensors"))
+    cfg_dict = {**TINY, "tie_word_embeddings": tie_word_embeddings, "model_type": "qwen3"}
+    (tmp_path / "config.json").write_text(json.dumps(cfg_dict))
+    return model
+
+
+@pytest.mark.parametrize("tie", [False, True])
+def test_logits_match_hf(tmp_path, tie):
+    hf_model = make_hf_checkpoint(tmp_path, tie)
+    config = Qwen3Config.from_hf_dir(str(tmp_path))
+    assert config.tie_word_embeddings == tie
+    params = load_qwen3_params(str(tmp_path), config, dtype=jnp.float32)
+
+    rng = np.random.default_rng(42)
+    tokens = rng.integers(0, TINY["vocab_size"], size=17)
+
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor(tokens[None])).logits[0].numpy()
+
+    ours = np.asarray(
+        qwen3.forward_full(params, jnp.asarray(tokens, jnp.int32), config=config)
+    )
+
+    assert ours.shape == hf_logits.shape
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_causal_consistency(tmp_path):
+    """Logits at position i are identical whether computed alone or within a
+    longer sequence (the reference's invariant, layer_test.rs:165-202)."""
+    make_hf_checkpoint(tmp_path, tie_word_embeddings=False)
+    config = Qwen3Config.from_hf_dir(str(tmp_path))
+    params = load_qwen3_params(str(tmp_path), config, dtype=jnp.float32)
+
+    rng = np.random.default_rng(7)
+    tokens = jnp.asarray(rng.integers(0, TINY["vocab_size"], size=12), jnp.int32)
+
+    full = qwen3.forward_full(params, tokens, config=config)
+    short = qwen3.forward_full(params, tokens[:5], config=config)
+    np.testing.assert_allclose(
+        np.asarray(full[:5]), np.asarray(short), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_random_init_forward_shapes():
+    import jax
+
+    config = Qwen3Config.tiny()
+    params = qwen3.init_params(config, jax.random.key(0), dtype=jnp.float32)
+    tokens = jnp.arange(9, dtype=jnp.int32)
+    logits = qwen3.forward_full(params, tokens, config=config)
+    assert logits.shape == (9, config.vocab_size)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    # Logit variance sanity (layer_test.rs:38-71 asserts var > 1.0; random
+    # init won't hit that bar, just require non-degenerate spread).
+    assert np.asarray(logits).std() > 1e-3
