@@ -1,0 +1,174 @@
+"""Benchmark harness. Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
+
+The reference publishes no numbers (``/root/reference/README.md:96-104``
+documents only a benchmark command; SURVEY.md §6), so ``vs_baseline`` is the
+fraction of the hardware **speed-of-light** decode rate: batched decode is
+HBM-bandwidth-bound, so SOL tok/s = batch * HBM_BW / bytes_read_per_step
+(weights + lm_head + KV read). Values > 1 are impossible; ~0.5+ is a healthy
+serving engine. This is a stricter bar than the reference's self-reported
+tok/s and is measurable on any chip.
+
+Default config: Qwen3-0.6B shapes, bf16, random-init weights (no checkpoints
+in this environment; perf is weight-value-independent), continuous batching
+of 8 sequences, 128-token prompts, 128 decode steps on 1 chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+HBM_BW_BY_PLATFORM = {
+    # bytes/s; conservative spec sheet numbers
+    "tpu v5 lite": 819e9,   # v5e
+    "tpu v5": 819e9,
+    "tpu v4": 1228e9,
+    "tpu v6 lite": 1640e9,  # v6e / trillium
+    "cpu": 50e9,
+}
+
+
+def detect_bw(device) -> float:
+    kind = getattr(device, "device_kind", "cpu").lower()
+    for key, bw in HBM_BW_BY_PLATFORM.items():
+        if key in kind:
+            return bw
+    return HBM_BW_BY_PLATFORM["cpu"]
+
+
+def param_bytes(params) -> int:
+    import jax
+
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="0.6b", choices=["0.6b", "4b", "8b", "tiny"])
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--prompt-len", type=int, default=128)
+    parser.add_argument("--decode-steps", type=int, default=128)
+    parser.add_argument("--tiny", action="store_true", help="tiny model on CPU (smoke)")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+    if args.tiny:
+        args.model = "tiny"
+
+    import jax
+
+    if args.cpu or args.model == "tiny":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nano_vllm_candle_tpu.config import EngineConfig, Qwen3Config
+    from nano_vllm_candle_tpu.llm import LLM
+    from nano_vllm_candle_tpu.sampling_params import SamplingParams
+
+    cfg = {
+        "0.6b": Qwen3Config.qwen3_0_6b,
+        "4b": Qwen3Config.qwen3_4b,
+        "8b": Qwen3Config.qwen3_8b,
+        "tiny": Qwen3Config.tiny,
+    }[args.model]()
+
+    B = args.batch
+    prompt_len = args.prompt_len if args.model != "tiny" else 16
+    decode_steps = args.decode_steps if args.model != "tiny" else 16
+    block_size = 16
+    max_len = prompt_len + decode_steps + block_size
+    blocks_per_seq = -(-max_len // block_size)
+    num_blocks = 1 + B * blocks_per_seq
+
+    dtype = "bfloat16" if args.model != "tiny" else "float32"
+    eng = EngineConfig(
+        max_num_seqs=B,
+        max_num_batched_tokens=max(4096, B * prompt_len),
+        num_kvcache_blocks=num_blocks,
+        kvcache_block_size=block_size,
+        max_model_len=max_len,
+        dtype=dtype,
+        kv_cache_dtype=dtype,
+        enable_prefix_caching=False,  # distinct prompts; keep bench honest
+        use_pallas_kernels=True,
+    )
+    t0 = time.perf_counter()
+    llm = LLM(config=cfg, engine_config=eng)
+    print(f"# init {time.perf_counter()-t0:.1f}s on {jax.devices()[0]}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    prompts = [list(map(int, rng.integers(10, cfg.vocab_size - 10, prompt_len))) for _ in range(B)]
+    sp = SamplingParams(temperature=0.0, max_tokens=decode_steps, ignore_eos=True)
+
+    # --- warmup: compile prefill + decode ------------------------------------
+    t0 = time.perf_counter()
+    for p in prompts:
+        llm.add_request(p, sp)
+    out = llm.step()  # prefill (compiles)
+    assert out.is_prefill
+    prefill_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    llm.step()  # decode (compiles)
+    decode_compile_s = time.perf_counter() - t0
+    # finish warmup generation
+    while not llm.is_finished():
+        llm.step()
+    print(
+        f"# compile: prefill {prefill_compile_s:.1f}s decode {decode_compile_s:.1f}s",
+        file=sys.stderr,
+    )
+
+    # --- timed run -----------------------------------------------------------
+    for p in prompts:
+        llm.add_request(p, sp)
+    t_prefill0 = time.perf_counter()
+    out = llm.step()
+    ttft_s = time.perf_counter() - t_prefill0
+    assert out.is_prefill
+
+    n_decode = 0
+    t0 = time.perf_counter()
+    while not llm.is_finished():
+        out = llm.step()
+        if not out.is_prefill:
+            n_decode += -out.num_tokens
+    decode_s = time.perf_counter() - t0
+    tok_s = n_decode / decode_s
+
+    # --- speed-of-light estimate ---------------------------------------------
+    pbytes = param_bytes(llm.model_runner.params)
+    # per decode step: read all weights once + tied lm_head again for logits
+    itemsize = jnp.dtype(dtype).itemsize
+    logit_bytes = cfg.vocab_size * cfg.hidden_size * itemsize
+    kv_bytes_per_seq = (
+        2 * cfg.num_hidden_layers * cfg.num_key_value_heads * cfg.head_dim
+        * (prompt_len + decode_steps // 2) * itemsize
+    )
+    step_bytes = pbytes + (logit_bytes if cfg.tie_word_embeddings else 0) + B * kv_bytes_per_seq
+    bw = detect_bw(jax.devices()[0])
+    sol_tok_s = B * bw / step_bytes
+
+    result = {
+        "metric": f"decode_tok_s_qwen3_{args.model}_{dtype}_bs{B}_1chip",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / sol_tok_s, 4),
+        "extra": {
+            "ttft_p50_s": round(ttft_s, 4),
+            "sol_tok_s": round(sol_tok_s, 1),
+            "prompt_len": prompt_len,
+            "decode_steps": decode_steps,
+            "device": str(jax.devices()[0]),
+            "param_bytes": pbytes,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

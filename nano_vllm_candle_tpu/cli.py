@@ -1,0 +1,120 @@
+"""Command-line interface.
+
+Mirrors the reference CLI (``/root/reference/src/main.rs:84-112``): prompt,
+temperature (default 0.6), max_tokens (default 256), ignore_eos, log level,
+device — plus TPU-native flags (tp size, quantization, random-init model
+presets for checkpoint-free runs). Reports the same exit stats the reference
+prints (``main.rs:238-252``): token counts, wall time, throughput.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="nano-vllm-candle-tpu",
+        description="TPU-native LLM inference engine (JAX/XLA/Pallas)",
+    )
+    p.add_argument("--model", help="HF model directory (config.json + safetensors + tokenizer.json)")
+    p.add_argument("--preset", choices=["tiny", "0.6b", "4b", "8b", "32b"],
+                   help="random-init model preset (no checkpoint needed)")
+    p.add_argument("-p", "--prompt", required=True, help="prompt text")
+    p.add_argument("-T", "--temperature", type=float, default=0.6)
+    p.add_argument("-m", "--max-tokens", type=int, default=256)
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--ignore-eos", action="store_true")
+    p.add_argument("--no-chat-template", action="store_true")
+    p.add_argument("-l", "--log-level", default="info",
+                   choices=["error", "warn", "info", "debug", "trace"])
+    p.add_argument("-d", "--device", default="tpu", choices=["tpu", "cpu"])
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--max-num-seqs", type=int, default=8)
+    p.add_argument("--max-model-len", type=int, default=4096)
+    p.add_argument("--kv-blocks", type=int, default=1024)
+    p.add_argument("--block-size", type=int, default=16)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    level = {"error": logging.ERROR, "warn": logging.WARNING, "info": logging.INFO,
+             "debug": logging.DEBUG, "trace": logging.DEBUG}[args.log_level]
+    logging.basicConfig(level=level, format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    logger = logging.getLogger("nano_vllm_candle_tpu.cli")
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from nano_vllm_candle_tpu.config import EngineConfig, Qwen3Config
+    from nano_vllm_candle_tpu.llm import LLM
+    from nano_vllm_candle_tpu.parallel.mesh import make_mesh
+    from nano_vllm_candle_tpu.sampling_params import SamplingParams
+    from nano_vllm_candle_tpu.utils.tokenizer import apply_chat_template, load_tokenizer
+
+    if not args.model and not args.preset:
+        print("error: need --model DIR or --preset NAME", file=sys.stderr)
+        return 2
+
+    config = None
+    if args.preset:
+        config = {
+            "tiny": Qwen3Config.tiny,
+            "0.6b": Qwen3Config.qwen3_0_6b,
+            "4b": Qwen3Config.qwen3_4b,
+            "8b": Qwen3Config.qwen3_8b,
+            "32b": Qwen3Config.qwen3_32b,
+        }[args.preset]()
+
+    engine_config = EngineConfig(
+        max_num_seqs=args.max_num_seqs,
+        num_kvcache_blocks=args.kv_blocks,
+        kvcache_block_size=args.block_size,
+        max_model_len=args.max_model_len,
+        tp_size=args.tp,
+    )
+    mesh = make_mesh(tp=args.tp) if args.tp > 1 else None
+
+    logger.info("loading model (model=%s preset=%s tp=%d)", args.model, args.preset, args.tp)
+    t0 = time.perf_counter()
+    llm = LLM(args.model, config=config, engine_config=engine_config, mesh=mesh)
+    logger.info("model ready in %.1fs on %s", time.perf_counter() - t0, jax.devices()[0])
+
+    tokenizer = load_tokenizer(args.model)
+    text = args.prompt if args.no_chat_template else apply_chat_template(args.prompt)
+    token_ids = tokenizer.encode(text)
+    if llm.config.bos_token_id is not None and args.model is None:
+        token_ids = [llm.config.bos_token_id] + token_ids  # BOS prepend (main.rs:206-207)
+
+    sp = SamplingParams(
+        temperature=args.temperature,
+        max_tokens=args.max_tokens,
+        ignore_eos=args.ignore_eos,
+        top_k=args.top_k,
+        top_p=args.top_p,
+    )
+    t0 = time.perf_counter()
+    outputs = llm.generate([token_ids], sp)
+    elapsed = time.perf_counter() - t0
+
+    completion = outputs[0].token_ids
+    print(tokenizer.decode(completion))
+    total = len(token_ids) + len(completion)
+    print(
+        f"\n--- prompt: {len(token_ids)} tok, generated: {len(completion)} tok, "
+        f"total: {total} tok\n--- Time: {elapsed:.2f}s, "
+        f"Throughput: {len(completion) / elapsed:.2f}tok/s",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -177,6 +177,10 @@ class EngineConfig:
     # parallelism (mesh axes); tp shards heads/ffn, dp shards request slots
     tp_size: int = 1
     dp_size: int = 1
+    # Decode steps per dispatch (multi-step decode; sampled tokens feed
+    # forward on device). Amortizes host<->device round trips; finished
+    # sequences overshoot by < decode_burst discarded tokens.
+    decode_burst: int = 16
     # sampling compilation
     max_top_k: int = 64  # static bound for the on-device top-k mask
     # reproducibility

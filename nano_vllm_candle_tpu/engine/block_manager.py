@@ -85,12 +85,18 @@ class BlockManager:
         an admitted sequence can always be fully allocated."""
         return seq.num_blocks <= self.num_free_blocks
 
+    def _blocks_needed(self, seq: Sequence, n_tokens: int) -> int:
+        """Additional blocks required before the next ``n_tokens`` decode
+        steps run: the coming steps write KV for token indices
+        ``len-1 .. len-2+n``, so the table must cover ``len-1+n`` tokens."""
+        needed = -(-(len(seq.token_ids) - 1 + n_tokens) // self.block_size)
+        return max(0, needed - len(seq.block_table))
+
     def can_append(self, seq: Sequence) -> bool:
-        """A decode step needs a new block only when the just-appended token
-        (index ``len-1``, whose KV the coming step writes) starts a fresh
-        block."""
-        needs_new = (len(seq.token_ids) - 1) % self.block_size == 0
-        return self.num_free_blocks >= (1 if needs_new else 0)
+        return self.can_extend(seq, 1)
+
+    def can_extend(self, seq: Sequence, n_tokens: int) -> bool:
+        return self.num_free_blocks >= self._blocks_needed(seq, n_tokens)
 
     # -- allocation ----------------------------------------------------------
 
@@ -142,25 +148,39 @@ class BlockManager:
         seq.num_cached_tokens = num_cached
 
     def may_append(self, seq: Sequence) -> None:
-        """Called before a decode step: grow the block table if the next
-        token starts a new block, and content-hash the block that just
-        filled (making it prefix-shareable). Replaces the reference no-op
-        (``block_manager.rs:98``)."""
-        n = len(seq.token_ids)
-        last = self.blocks[seq.block_table[-1]]
-        if (n - 1) % self.block_size == 0:
-            # The last block just became full: finalize its hash.
-            if self.enable_prefix_caching and last.hash is None and last.ref_count == 1:
-                prefix_hash = self._prefix_hash_for(seq, len(seq.block_table) - 1)
-                tokens = tuple(seq.block(len(seq.block_table) - 1))
-                last.token_ids = list(tokens)
-                last.hash = _block_hash(prefix_hash, tokens)
-                self.hash_to_block.setdefault(last.hash, last.block_id)
+        """Grow the block table before one decode step. Replaces the
+        reference no-op (``block_manager.rs:98``)."""
+        self.extend(seq, 1)
+
+    def extend(self, seq: Sequence, n_tokens: int) -> None:
+        """Grow the block table to cover the next ``n_tokens`` decode steps
+        (multi-step decode pre-allocates its whole burst)."""
+        for _ in range(self._blocks_needed(seq, n_tokens)):
             seq.block_table.append(self._take_free_block().block_id)
-        elif last.ref_count > 1:
-            # Copy-on-write would go here; never triggered today because only
-            # *full* (immutable) blocks are ever shared.
-            raise AssertionError("shared partial block should be impossible")
+
+    def finalize_full_blocks(self, seq: Sequence) -> None:
+        """Content-hash blocks that decode has filled, making them
+        prefix-shareable. Called after tokens are appended (their values are
+        only known then)."""
+        if not self.enable_prefix_caching:
+            return
+        num_full = len(seq.token_ids) // self.block_size
+        prefix_hash = 0
+        for i in range(min(num_full, len(seq.block_table))):
+            block = self.blocks[seq.block_table[i]]
+            if block.hash is None:
+                if block.ref_count == 1:
+                    tokens = tuple(seq.block(i))
+                    block.token_ids = list(tokens)
+                    block.hash = _block_hash(prefix_hash, tokens)
+                    self.hash_to_block.setdefault(block.hash, block.block_id)
+                    prefix_hash = block.hash
+                else:
+                    # Shared-but-unhashed cannot happen (only hashed blocks
+                    # are ever shared); stop to be safe.
+                    break
+            else:
+                prefix_hash = block.hash
 
     def _prefix_hash_for(self, seq: Sequence, block_idx: int) -> int:
         h = 0

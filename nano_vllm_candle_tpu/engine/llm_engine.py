@@ -25,18 +25,25 @@ logger = logging.getLogger(__name__)
 
 class ModelRunner(Protocol):
     """One-method abstraction decoupling engine from model
-    (``llm_engine.rs:16-18``)."""
+    (``llm_engine.rs:16-18``), widened for multi-step decode."""
 
-    def run(self, seqs: List[Sequence], is_prefill: bool) -> List[int]:
-        """Return the next token id for each scheduled sequence."""
+    def run(self, seqs: List[Sequence], is_prefill: bool) -> List[List[int]]:
+        """Return the next token id(s) for each scheduled sequence — one for
+        prefill, up to ``decode_burst`` for decode."""
         ...
 
 
 class DummyModelRunner:
     """Test fake: next token = last_token + 1 (``llm_engine.rs:20-33``)."""
 
-    def run(self, seqs: List[Sequence], is_prefill: bool) -> List[int]:
-        return [seq.last_token + 1 for seq in seqs]
+    def __init__(self, burst: int = 1) -> None:
+        self.burst = burst
+
+    def run(self, seqs: List[Sequence], is_prefill: bool) -> List[List[int]]:
+        k = 1 if is_prefill else self.burst
+        return [
+            [seq.last_token + 1 + i for i in range(k)] for seq in seqs
+        ]
 
 
 @dataclasses.dataclass
@@ -93,7 +100,7 @@ class LLMEngine:
             # the reference only because its can_append is constant true).
             return StepOutput(outputs=[], is_prefill=False, num_tokens=0)
         token_ids = self.model_runner.run(seqs, is_prefill)
-        self.scheduler.post_process(seqs, token_ids)
+        accepted = self.scheduler.post_process(seqs, token_ids)
 
         outputs = [
             (seq.seq_id, list(seq.completion_token_ids))
@@ -103,13 +110,13 @@ class LLMEngine:
         if is_prefill:
             num_tokens = sum(len(s) - 1 - s.num_cached_tokens for s in seqs)
         else:
-            num_tokens = -len(seqs)
+            num_tokens = -accepted
 
         self.metrics["steps"] += 1
         if is_prefill:
             self.metrics["prefill_tokens"] += num_tokens
         else:
-            self.metrics["decode_tokens"] += len(seqs)
+            self.metrics["decode_tokens"] += accepted
         self.metrics["preemptions"] = self.scheduler.num_preemptions
         return StepOutput(outputs=outputs, is_prefill=is_prefill, num_tokens=num_tokens)
 

@@ -1,0 +1,312 @@
+"""JAX model runner: jit-compiled prefill/decode steps over the paged cache.
+
+Implements the reference's ``ModelRunner`` seam
+(``/root/reference/src/engine/llm_engine.rs:16-18``) the TPU-native way. The
+reference's ``Qwen3ModelRunner`` re-runs the whole prompt+completion through
+the model every step with per-step host padding (``llm_engine.rs:60-95``) and
+samples on host (97-133). Here instead (SURVEY.md §7 inversions):
+
+- **Fixed shapes for jit**: prefill packs all scheduled prompts into one
+  token stream padded to a bucket length (compile count = #buckets); decode
+  is a single ``[max_num_seqs]``-shaped step with inactive-slot masking.
+  No recompilation storms from dynamic batch shapes.
+- **State lives on device**: the paged KV cache is a donated jit argument,
+  updated in place; only token ids (ints) cross the host boundary each step.
+- **Sampling on device** (``ops/sampling.py``): greedy/temperature/top-k/
+  top-p over the last-position logits only.
+
+The ``DummyModelRunner`` twin for control-plane tests lives in
+``llm_engine.py``.
+"""
+
+from __future__ import annotations
+
+import bisect
+import logging
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nano_vllm_candle_tpu.config import EngineConfig, Qwen3Config
+from nano_vllm_candle_tpu.engine.block_manager import BlockManager
+from nano_vllm_candle_tpu.engine.sequence import Sequence
+from nano_vllm_candle_tpu.models import qwen3
+from nano_vllm_candle_tpu.ops.sampling import sample_tokens
+
+logger = logging.getLogger(__name__)
+
+
+class JaxModelRunner:
+    """Runs a Qwen3 model under jit with a resident paged KV cache."""
+
+    def __init__(
+        self,
+        params: Any,
+        config: Qwen3Config,
+        engine_config: EngineConfig,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        block_manager: Optional[BlockManager] = None,
+        attn_impl: Optional[str] = None,
+    ) -> None:
+        self.config = config
+        self.engine_config = engine_config
+        self.mesh = mesh
+        self.params = params
+        self.block_manager = block_manager  # set later by the engine builder
+        if attn_impl is None:
+            on_tpu = jax.devices()[0].platform != "cpu"
+            attn_impl = "pallas" if (engine_config.use_pallas_kernels and on_tpu) else "xla"
+        self.attn_impl = attn_impl
+
+        cos, sin = qwen3.rope_tables(config)
+        self.cos, self.sin = cos, sin
+        kv_dtype = jnp.dtype(engine_config.kv_cache_dtype)
+        self.kv_cache = qwen3.init_kv_cache(
+            config,
+            engine_config.num_kvcache_blocks,
+            engine_config.kvcache_block_size,
+            kv_dtype,
+        )
+        if mesh is not None:
+            from nano_vllm_candle_tpu.parallel.mesh import (
+                shard_kv_cache,
+                shard_params,
+                validate_tp,
+            )
+
+            validate_tp(config, mesh.shape["tp"])
+            if engine_config.max_num_seqs % mesh.shape["dp"] != 0:
+                raise ValueError("max_num_seqs must be divisible by dp")
+            self.params = shard_params(params, mesh, config)
+            self.kv_cache = shard_kv_cache(self.kv_cache, mesh)
+        self.block_size = engine_config.kvcache_block_size
+        self.max_num_seqs = engine_config.max_num_seqs
+        self.max_blocks_per_seq = engine_config.max_blocks_per_seq
+        self.decode_burst = max(1, engine_config.decode_burst)
+        self.buckets = list(engine_config.prefill_buckets)
+        self._base_key = jax.random.key(engine_config.seed)
+        self._step_counter = 0
+
+        self._prefill_jit = jax.jit(
+            self._prefill_step,
+            static_argnames=("use_top_k", "use_top_p"),
+            donate_argnames=("kv_cache",),
+        )
+        self._decode_jit = jax.jit(
+            self._decode_step,
+            static_argnames=("use_top_k", "use_top_p"),
+            donate_argnames=("kv_cache",),
+        )
+
+    # -- jitted step functions ------------------------------------------------
+    #
+    # Host→device traffic is packed into two arrays per step (one int32, one
+    # f32): over the single-chip tunnel every small transfer is a round trip,
+    # and unpacking inside jit is free. The NamedTuple batch views are
+    # reconstructed on device.
+
+    def _prefill_step(
+        self,
+        params,
+        kv_cache,
+        tok_i32,  # [T, 4]: token_ids, positions, seg_ids, slot_mapping
+        seq_i32,  # [B, 2]: logits_indices, top_k
+        seq_f32,  # [B, 2]: temperature, top_p
+        step,
+        *,
+        use_top_k: bool,
+        use_top_p: bool,
+    ):
+        batch = qwen3.PrefillBatch(
+            token_ids=tok_i32[:, 0],
+            positions=tok_i32[:, 1],
+            seg_ids=tok_i32[:, 2],
+            slot_mapping=tok_i32[:, 3],
+            logits_indices=seq_i32[:, 0],
+        )
+        hidden, kv_cache = qwen3.forward(
+            params, kv_cache, batch, self.cos, self.sin,
+            config=self.config, mode="prefill", attn_impl=self.attn_impl,
+        )
+        logits = qwen3.compute_logits(params, hidden)
+        rng = jax.random.fold_in(self._base_key, step)
+        tokens = sample_tokens(
+            rng, logits, seq_f32[:, 0], seq_i32[:, 1], seq_f32[:, 1],
+            max_top_k=self.engine_config.max_top_k,
+            use_top_k=use_top_k, use_top_p=use_top_p,
+        )
+        return tokens, kv_cache
+
+    def _decode_step(
+        self,
+        params,
+        kv_cache,
+        seq_i32,  # [B, 5 + W]: token, position, slot, seq_len, top_k, block_table...
+        seq_f32,  # [B, 2]: temperature, top_p
+        step,
+        *,
+        use_top_k: bool,
+        use_top_p: bool,
+    ):
+        """Multi-step decode: ``decode_burst`` forward+sample steps in one
+        dispatch, sampled tokens feeding the next step **on device**. Over a
+        tunneled/remote chip this amortizes the per-dispatch round trip K×;
+        the scheduler pre-allocates every burst's blocks (scheduler.py
+        ``_schedule_decode``)."""
+        K = self.decode_burst
+        bs = self.block_size
+        start_tokens = seq_i32[:, 0]
+        start_pos = seq_i32[:, 1]
+        start_len = seq_i32[:, 3]
+        top_k = seq_i32[:, 4]
+        block_tables = seq_i32[:, 5:]
+        active = start_len > 0
+        burst_rng = jax.random.fold_in(self._base_key, step)
+
+        def body(carry, i):
+            kv_cache, tokens = carry
+            pos = jnp.where(active, start_pos + i, 0)
+            seq_lens = jnp.where(active, start_len + i, 0)
+            page = jnp.take_along_axis(block_tables, (pos // bs)[:, None], axis=1)[:, 0]
+            slot = page * bs + pos % bs
+            batch = qwen3.DecodeBatch(
+                token_ids=tokens,
+                positions=pos,
+                slot_mapping=slot,
+                block_tables=block_tables,
+                seq_lens=seq_lens,
+            )
+            hidden, kv_cache = qwen3.forward(
+                params, kv_cache, batch, self.cos, self.sin,
+                config=self.config, mode="decode", attn_impl=self.attn_impl,
+            )
+            logits = qwen3.compute_logits(params, hidden)
+            rng = jax.random.fold_in(burst_rng, i)
+            new_tokens = sample_tokens(
+                rng, logits, seq_f32[:, 0], top_k, seq_f32[:, 1],
+                max_top_k=self.engine_config.max_top_k,
+                use_top_k=use_top_k, use_top_p=use_top_p,
+            )
+            return (kv_cache, new_tokens), new_tokens
+
+        (kv_cache, _), all_tokens = jax.lax.scan(
+            body, (kv_cache, start_tokens), jnp.arange(K, dtype=jnp.int32)
+        )
+        return all_tokens, kv_cache  # [K, B]
+
+    # -- host-side batch assembly ---------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        i = bisect.bisect_left(self.buckets, n)
+        if i == len(self.buckets):
+            raise ValueError(
+                f"prefill of {n} tokens exceeds the largest bucket "
+                f"{self.buckets[-1]} (max_num_batched_tokens)"
+            )
+        return self.buckets[i]
+
+    def _seq_arrays(self, seqs: List[Sequence], *, decode: bool):
+        """Per-slot packed arrays. Decode: int32 [B, 5+W] + f32 [B, 2];
+        prefill: int32 [B, 2] (logits_idx, top_k) + f32 [B, 2]."""
+        bm = self.block_manager
+        B = self.max_num_seqs
+        W = self.max_blocks_per_seq
+        seq_f32 = np.zeros((B, 2), np.float32)
+        seq_f32[:, 1] = 1.0  # top_p disabled for padding slots
+        if decode:
+            seq_i32 = np.zeros((B, 5 + W), np.int32)
+            for i, seq in enumerate(seqs):
+                L = len(seq)
+                nb = len(seq.block_table)
+                if nb > W:
+                    raise ValueError(
+                        f"sequence needs {nb} blocks > max_blocks_per_seq={W}; "
+                        "raise max_model_len"
+                    )
+                seq_i32[i, 0] = seq.last_token
+                seq_i32[i, 1] = L - 1
+                seq_i32[i, 2] = bm.slot_for(seq, L - 1)
+                seq_i32[i, 3] = L
+                seq_i32[i, 4] = seq.top_k
+                seq_i32[i, 5 : 5 + nb] = seq.block_table
+                seq_f32[i, 0] = seq.temperature
+                seq_f32[i, 1] = seq.top_p
+        else:
+            seq_i32 = np.zeros((B, 2), np.int32)
+            for i, seq in enumerate(seqs):
+                seq_i32[i, 1] = seq.top_k
+                seq_f32[i, 0] = seq.temperature
+                seq_f32[i, 1] = seq.top_p
+        use_top_k = bool((seq_i32[:, 4 if decode else 1] > 0).any())
+        use_top_p = bool((seq_f32[:, 1] < 1.0).any())
+        return seq_i32, seq_f32, use_top_k, use_top_p
+
+    def _build_prefill_tokens(self, seqs: List[Sequence], seq_i32: np.ndarray):
+        """Packed token stream int32 [T, 4] (token, position, seg, slot);
+        fills logits_indices into seq_i32[:, 0]."""
+        bm = self.block_manager
+        total = sum(len(s) for s in seqs)
+        T = self._bucket(total)
+        tok_i32 = np.zeros((T, 4), np.int32)
+        tok_i32[:, 2] = -1  # seg_id padding
+        t = 0
+        for i, seq in enumerate(seqs):
+            L = len(seq)
+            tok_i32[t : t + L, 0] = seq.token_ids
+            tok_i32[t : t + L, 1] = np.arange(L)
+            tok_i32[t : t + L, 2] = i
+            bs = self.block_size
+            table = np.asarray(seq.block_table, np.int64)
+            idx = np.arange(L)
+            tok_i32[t : t + L, 3] = table[idx // bs] * bs + idx % bs
+            t += L
+            seq_i32[i, 0] = t - 1
+        return tok_i32
+
+    def _dp_sharding(self, row_sharded: bool):
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P("dp", None) if row_sharded else P(None, None)
+        return NamedSharding(self.mesh, spec)
+
+    # -- the ModelRunner interface (llm_engine.rs:16-18) ----------------------
+
+    def run(self, seqs: List[Sequence], is_prefill: bool) -> List[List[int]]:
+        assert self.block_manager is not None, "runner not bound to a scheduler"
+        B = self.max_num_seqs
+        if len(seqs) > B:
+            raise ValueError(f"{len(seqs)} scheduled seqs > max_num_seqs={B}")
+        step = jnp.int32(self._step_counter)
+        self._step_counter += 1
+
+        seq_i32, seq_f32, use_top_k, use_top_p = self._seq_arrays(
+            seqs, decode=not is_prefill
+        )
+        row_sh = self._dp_sharding(row_sharded=True)
+        if is_prefill:
+            tok_i32 = self._build_prefill_tokens(seqs, seq_i32)
+            tokens, self.kv_cache = self._prefill_jit(
+                self.params, self.kv_cache,
+                jnp.asarray(tok_i32),
+                jax.device_put(seq_i32, row_sh) if row_sh else jnp.asarray(seq_i32),
+                jax.device_put(seq_f32, row_sh) if row_sh else jnp.asarray(seq_f32),
+                step, use_top_k=use_top_k, use_top_p=use_top_p,
+            )
+            host_tokens = np.asarray(jax.device_get(tokens))  # [B]
+            return [[int(t)] for t in host_tokens[: len(seqs)]]
+
+        tokens, self.kv_cache = self._decode_jit(
+            self.params, self.kv_cache,
+            jax.device_put(seq_i32, row_sh) if row_sh else jnp.asarray(seq_i32),
+            jax.device_put(seq_f32, row_sh) if row_sh else jnp.asarray(seq_f32),
+            step, use_top_k=use_top_k, use_top_p=use_top_p,
+        )
+        host_tokens = np.asarray(jax.device_get(tokens))  # [K, B]
+        return [
+            [int(host_tokens[k, i]) for k in range(host_tokens.shape[0])]
+            for i in range(len(seqs))
+        ]

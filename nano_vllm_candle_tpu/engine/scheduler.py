@@ -35,6 +35,10 @@ class SchedulerConfig:
     num_kvcache_blocks: int = 512
     kvcache_block_size: int = 256
     enable_prefix_caching: bool = True
+    # Decode steps executed per schedule round in ONE device dispatch
+    # (multi-step decode; sampled tokens feed forward on device). 1 =
+    # reference-style single-step scheduling.
+    decode_burst: int = 1
 
     def with_max_num_seqs(self, n: int) -> "SchedulerConfig":
         return dataclasses.replace(self, max_num_seqs=n)
@@ -64,6 +68,7 @@ class Scheduler:
             )
         )
         self.block_size = config.kvcache_block_size
+        self.decode_burst = max(1, config.decode_burst)
         self.waiting: Deque[Sequence] = deque()
         self.running: Deque[Sequence] = deque()
         # step metrics (SURVEY.md §5.5 rebuild note)
@@ -113,13 +118,14 @@ class Scheduler:
                 break
             self.waiting.popleft()
             self.block_manager.allocate(seq)
-            tokens_to_process = len(seq) - seq.num_cached_tokens
-            if tokens_to_process == 0:
-                # Whole prompt was a prefix hit: still must compute the last
-                # token's logits to sample, so re-process the final token.
-                seq.num_cached_tokens -= 1
-                tokens_to_process = 1
-            num_batched_tokens += tokens_to_process
+            if seq.num_cached_tokens >= len(seq):
+                # Whole prompt was a prefix hit: the last token must still be
+                # processed to produce logits to sample from.
+                seq.num_cached_tokens = len(seq) - 1
+            # Budget counts the full prompt: the runner currently recomputes
+            # cached-prefix tokens too (prefix hits dedup KV *memory*; the
+            # compute skip lands with cached-prefix prefill attention).
+            num_batched_tokens += len(seq)
             seq.status = SequenceStatus.RUNNING
             scheduled.append(seq)
             logger.debug(
@@ -130,14 +136,17 @@ class Scheduler:
         return scheduled
 
     def _schedule_decode(self) -> List[Sequence]:
-        """One token per running sequence; preempt from the back when blocks
-        run out (scheduler.rs:159-186, preemption 200-211)."""
+        """Up to ``decode_burst`` tokens per running sequence; preempt from
+        the back when blocks run out (scheduler.rs:159-186, preemption
+        200-211). The whole burst's blocks are pre-allocated so the device
+        can run the burst without host round trips."""
+        K = self.decode_burst
         scheduled: List[Sequence] = []
         i = 0
         while i < len(self.running):
             seq = self.running[i]
             preempted_self = False
-            while not self.block_manager.can_append(seq):
+            while not self.block_manager.can_extend(seq, K):
                 victim = self.running[-1]
                 if victim is seq:
                     self._preempt(seq)
@@ -147,7 +156,7 @@ class Scheduler:
                 self._preempt(victim)
             if preempted_self:
                 continue  # self was removed; index i now points at next seq
-            self.block_manager.may_append(seq)
+            self.block_manager.extend(seq, K)
             scheduled.append(seq)
             i += 1
         return scheduled
@@ -168,12 +177,25 @@ class Scheduler:
 
     # -- post-processing (scheduler.rs:213-249) ------------------------------
 
-    def post_process(self, seqs: List[Sequence], token_ids: List[int]) -> None:
+    def post_process(self, seqs: List[Sequence], token_ids: List[List[int]]) -> int:
+        """Append each sequence's new token(s); finish on EOS/max_tokens.
+
+        ``token_ids[i]`` holds 1 token (prefill / single-step decode) or up
+        to ``decode_burst`` tokens. Tokens past a finish condition are
+        discarded (the device ran the full burst speculatively; their KV
+        landed in blocks freed here). Returns the number of accepted tokens.
+        """
         assert len(seqs) == len(token_ids)
-        for seq, token_id in zip(seqs, token_ids):
-            seq.append_token(token_id)
-            hit_eos = (not seq.ignore_eos) and token_id == self.eos
-            hit_cap = seq.num_completion_tokens >= seq.max_tokens
+        accepted = 0
+        for seq, tokens in zip(seqs, token_ids):
+            hit_eos = hit_cap = False
+            for token_id in tokens:
+                seq.append_token(token_id)
+                accepted += 1
+                hit_eos = (not seq.ignore_eos) and token_id == self.eos
+                hit_cap = seq.num_completion_tokens >= seq.max_tokens
+                if hit_eos or hit_cap:
+                    break
             if hit_eos or hit_cap:
                 seq.status = SequenceStatus.FINISHED
                 self.block_manager.deallocate(seq)
@@ -186,3 +208,6 @@ class Scheduler:
                     seq.seq_id, "eos" if hit_eos else "max_tokens",
                     seq.num_completion_tokens,
                 )
+            else:
+                self.block_manager.finalize_full_blocks(seq)
+        return accepted

@@ -1,0 +1,172 @@
+"""Pallas TPU paged-attention decode kernel.
+
+Replaces the XLA gather fallback (``ops/attention.py:paged_decode_attention``,
+which materializes every sequence's gathered KV in HBM) with a streaming
+kernel: for each (sequence, page) grid step the Pallas pipeline DMAs exactly
+one KV page from HBM into VMEM — double-buffered automatically — while the
+kernel folds it into an online-softmax accumulator (flash-attention style,
+f32 statistics). KV is read once at HBM speed-of-light; nothing quadratic is
+ever materialized.
+
+Design notes:
+- **Page gather via BlockSpec indirection**: the page index map reads the
+  (scalar-prefetched) block table, so the pipeline fetches physical pages in
+  block-table order. No manual DMA bookkeeping.
+- **Out-of-range clamping**: past a sequence's last page the index map
+  returns the last valid page again; Pallas skips re-fetching a block whose
+  index didn't change, so short sequences in a long-grid batch cost no extra
+  bandwidth, and compute is skipped with ``pl.when``.
+- **GQA grouping**: q is ``[B, nkv, g, hd]``; scores are batched matmuls per
+  KV head — K/V are never expanded (the reference had to emulate
+  numpy.repeat semantics for this, ``/root/reference/src/models/
+  qwen3.rs:236-256``).
+
+Numerics follow the online-softmax recurrence; masking uses
+``-0.7 * f32_max`` (never ``-inf``) and the final division guards l == 0
+(inactive padding slots), matching the XLA reference twin bit-for-bit at
+f32 statistics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _decode_kernel(
+    # scalar prefetch
+    seq_lens_ref,  # [B] int32
+    block_tables_ref,  # [B, W] int32
+    # blocks
+    q_ref,  # [1, nkv, g, hd]
+    k_ref,  # [nkv, 1, ps, hd]
+    v_ref,  # [nkv, 1, ps, hd]
+    o_ref,  # [1, nkv, g, hd]
+    # scratch
+    m_ref,  # [nq, 128] f32
+    l_ref,  # [nq, 128] f32
+    acc_ref,  # [nq, hd] f32
+    *,
+    scale: float,
+    page_size: int,
+    num_pages_per_seq: int,
+):
+    b = pl.program_id(0)
+    w = pl.program_id(1)
+    seq_len = seq_lens_ref[b]
+
+    @pl.when(w == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(w * page_size < seq_len)
+    def _compute():
+        _, nkv, g, hd = q_ref.shape
+        nq = nkv * g
+        q = q_ref[0].astype(jnp.float32)  # [nkv, g, hd]
+        k = k_ref[:, 0].astype(jnp.float32)  # [nkv, ps, hd]
+        v = v_ref[:, 0].astype(jnp.float32)
+
+        # scores[nkv, g, ps]
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+        token_idx = w * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (nkv, g, page_size), 2
+        )
+        s = jnp.where(token_idx < seq_len, s, MASK_VALUE)
+        s2 = s.reshape(nq, page_size)
+
+        m_prev = m_ref[:, :1]  # [nq, 1]
+        l_prev = l_ref[:, :1]
+        m_curr = jnp.max(s2, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s2 - m_next)  # [nq, ps]
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+
+        pv = jax.lax.dot_general(
+            p.reshape(nkv, g, page_size), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(nq, hd)
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(w == num_pages_per_seq - 1)
+    def _finalize():
+        _, nkv, g, hd = o_ref.shape
+        l = l_ref[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        out = (acc_ref[...] / safe_l).reshape(nkv, g, hd)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def pallas_paged_decode_attention(
+    q: jax.Array,  # [B, nq, hd]
+    k_cache: jax.Array,  # [nkv, P, ps, hd]
+    v_cache: jax.Array,  # [nkv, P, ps, hd]
+    block_tables: jax.Array,  # [B, W] int32
+    seq_lens: jax.Array,  # [B] int32
+    scale: float,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    B, nq, hd = q.shape
+    nkv, P, ps, _ = k_cache.shape
+    g = nq // nkv
+    W = block_tables.shape[1]
+    qg = q.reshape(B, nkv, g, hd)
+
+    def q_index_map(b, w, seq_lens_ref, block_tables_ref):
+        return (b, 0, 0, 0)
+
+    def kv_index_map(b, w, seq_lens_ref, block_tables_ref):
+        # Clamp past-the-end pages to the last valid page: the repeated block
+        # index makes the Pallas pipeline skip the redundant DMA.
+        last = jnp.maximum(pl.cdiv(seq_lens_ref[b], ps) - 1, 0)
+        w_eff = jnp.minimum(w, last)
+        return (0, block_tables_ref[b, w_eff], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, W),
+        in_specs=[
+            pl.BlockSpec((1, nkv, g, hd), q_index_map),
+            pl.BlockSpec((nkv, 1, ps, hd), kv_index_map),
+            pl.BlockSpec((nkv, 1, ps, hd), kv_index_map),
+        ],
+        out_specs=pl.BlockSpec((1, nkv, g, hd), q_index_map),
+        scratch_shapes=[
+            pltpu.VMEM((nq, 128), jnp.float32),  # m
+            pltpu.VMEM((nq, 128), jnp.float32),  # l
+            pltpu.VMEM((nq, hd), jnp.float32),  # acc
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel, scale=scale, page_size=ps, num_pages_per_seq=W
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nkv, g, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(seq_lens, block_tables, qg, k_cache, v_cache)
+    return out.reshape(B, nq, hd)

@@ -1,0 +1,96 @@
+"""High-level ``LLM`` facade: one-call engine assembly.
+
+Mirrors the reference's documented library-embedding path
+(``/root/reference/README.md:66-94`` / SURVEY.md §3.4): Device →
+SchedulerConfig → Scheduler → ModelRunner → LLMEngine, collapsed into a
+single constructor. Accepts either an HF model directory (config + weights)
+or an explicit ``(config, params)`` pair (random-init benchmarking).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, List, Optional, Sequence as Seq
+
+import jax
+import jax.numpy as jnp
+
+from nano_vllm_candle_tpu.config import EngineConfig, Qwen3Config
+from nano_vllm_candle_tpu.engine.llm_engine import GenerationOutput, LLMEngine
+from nano_vllm_candle_tpu.engine.model_runner import JaxModelRunner
+from nano_vllm_candle_tpu.engine.scheduler import Scheduler, SchedulerConfig
+from nano_vllm_candle_tpu.models import qwen3
+from nano_vllm_candle_tpu.sampling_params import SamplingParams
+
+logger = logging.getLogger(__name__)
+
+
+class LLM:
+    def __init__(
+        self,
+        model_dir: Optional[str] = None,
+        *,
+        config: Optional[Qwen3Config] = None,
+        params: Any = None,
+        engine_config: Optional[EngineConfig] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> None:
+        from nano_vllm_candle_tpu.utils.jax_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        if engine_config is None:
+            engine_config = EngineConfig()
+        if model_dir is not None:
+            if config is None:
+                config = Qwen3Config.from_hf_dir(model_dir)
+            if params is None:
+                from nano_vllm_candle_tpu.utils.loader import load_qwen3_params
+
+                params = load_qwen3_params(
+                    model_dir, config, dtype=jnp.dtype(engine_config.dtype)
+                )
+        if config is None:
+            raise ValueError("need model_dir or config")
+        if params is None:
+            logger.info("no weights given: random-initializing %s", config)
+            params = qwen3.init_params(
+                config, jax.random.key(engine_config.seed),
+                dtype=jnp.dtype(engine_config.dtype),
+            )
+
+        self.config = config
+        self.engine_config = engine_config
+        scheduler = Scheduler(
+            SchedulerConfig(
+                max_num_seqs=engine_config.max_num_seqs,
+                max_num_batched_tokens=engine_config.max_num_batched_tokens,
+                eos=config.eos_token_id,
+                num_kvcache_blocks=engine_config.num_kvcache_blocks,
+                kvcache_block_size=engine_config.kvcache_block_size,
+                enable_prefix_caching=engine_config.enable_prefix_caching,
+                decode_burst=engine_config.decode_burst,
+            )
+        )
+        self.model_runner = JaxModelRunner(
+            params, config, engine_config, mesh=mesh,
+            block_manager=scheduler.block_manager,
+        )
+        self.engine = LLMEngine(scheduler, self.model_runner)
+
+    # -- thin engine passthroughs --------------------------------------------
+
+    def add_request(self, token_ids: Seq[int], sampling_params: SamplingParams) -> int:
+        return self.engine.add_request(token_ids, sampling_params)
+
+    def step(self):
+        return self.engine.step()
+
+    def is_finished(self) -> bool:
+        return self.engine.is_finished()
+
+    def generate(
+        self,
+        prompts: Seq[Seq[int]],
+        sampling_params: SamplingParams | Seq[SamplingParams],
+    ) -> List[GenerationOutput]:
+        return self.engine.generate(prompts, sampling_params)

@@ -161,14 +161,12 @@ class TestBlockManager:
         bm.may_append(seq)
         assert len(seq.block_table) == 2
 
-    def test_may_append_finalizes_hash(self):
+    def test_decode_filled_block_becomes_shareable(self):
         bm = self.bm(block_size=4)
         seq = make_seq([1, 2, 3], block_size=4)
         bm.allocate(seq)
-        seq.append_token(4)
-        bm.may_append(seq)  # block 0 still partial? no: 4 tokens, but hashed on *next* boundary
-        seq.append_token(5)
-        bm.may_append(seq)  # crossing: block 0 (tokens 1,2,3,4) hashed now
+        seq.append_token(4)  # block 0 now content-complete
+        bm.finalize_full_blocks(seq)  # post_process hook
         b0 = bm.blocks[seq.block_table[0]]
         assert b0.hash is not None
         # A new sequence with the same 4-token prefix shares block 0.
@@ -214,7 +212,7 @@ class TestScheduler:
         batch, is_prefill = s.schedule()
         assert is_prefill and batch == [seq]
         assert seq.status == SequenceStatus.RUNNING
-        s.post_process(batch, [42])
+        s.post_process(batch, [[42]])
         batch, is_prefill = s.schedule()
         assert not is_prefill and batch == [seq]
 
@@ -242,7 +240,7 @@ class TestScheduler:
         seq = make_seq([1, 2], block_size=4)
         s.add(seq)
         batch, _ = s.schedule()
-        s.post_process(batch, [0])  # eos = 0
+        s.post_process(batch, [[0]])  # eos = 0
         assert seq.is_finished
         assert s.is_finished()
 
@@ -251,11 +249,11 @@ class TestScheduler:
         seq = make_seq([1, 2], block_size=4, ignore_eos=True, max_tokens=3)
         s.add(seq)
         batch, _ = s.schedule()
-        s.post_process(batch, [0])
+        s.post_process(batch, [[0]])
         assert not seq.is_finished
         for _ in range(2):
             batch, _ = s.schedule()
-            s.post_process(batch, [0])
+            s.post_process(batch, [[0]])
         assert seq.is_finished
 
     def test_preemption_on_block_exhaustion(self):
@@ -268,7 +266,7 @@ class TestScheduler:
         s.add(b)
         batch, is_prefill = s.schedule()
         assert is_prefill and len(batch) == 2
-        s.post_process(batch, [5, 6])  # each now needs a 2nd block next step
+        s.post_process(batch, [[5], [6]])  # each now needs a 2nd block next step
         batch, is_prefill = s.schedule()
         assert not is_prefill
         # Only one can get a new block; the other (b, lowest priority) is preempted.
@@ -282,7 +280,7 @@ class TestScheduler:
         a = make_seq([1, 2], block_size=2)
         s.add(a)
         batch, _ = s.schedule()
-        s.post_process(batch, [5])  # needs new block; none free
+        s.post_process(batch, [[5]])  # needs new block; none free
         batch, is_prefill = s.schedule()
         assert batch == []  # a preempted itself back to waiting
         assert a.status == SequenceStatus.WAITING

@@ -1,0 +1,73 @@
+"""Pallas kernels vs their XLA reference twins (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nano_vllm_candle_tpu.ops.attention import paged_decode_attention
+from nano_vllm_candle_tpu.kernels.paged_decode import pallas_paged_decode_attention
+
+
+def make_case(B=4, nq=8, nkv=4, hd=128, ps=16, P=12, W=6, seed=0, dtype=jnp.float32):
+    keys = jax.random.split(jax.random.key(seed), 3)
+    q = jax.random.normal(keys[0], (B, nq, hd), dtype)
+    k_cache = jax.random.normal(keys[1], (nkv, P, ps, hd), dtype)
+    v_cache = jax.random.normal(keys[2], (nkv, P, ps, hd), dtype)
+    rng = np.random.default_rng(seed)
+    # distinct valid pages per sequence (page 0 = null)
+    block_tables = np.zeros((B, W), np.int32)
+    seq_lens = np.zeros((B,), np.int32)
+    for b in range(B):
+        L = int(rng.integers(1, W * ps))
+        seq_lens[b] = L
+        nb = -(-L // ps)
+        pages = rng.choice(np.arange(1, P), size=nb, replace=False)
+        block_tables[b, :nb] = pages
+    return q, k_cache, v_cache, jnp.asarray(block_tables), jnp.asarray(seq_lens)
+
+
+class TestPagedDecodeKernel:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_xla_reference(self, seed):
+        q, k, v, bt, sl, = make_case(seed=seed)
+        scale = q.shape[-1] ** -0.5
+        ref = paged_decode_attention(q, k, v, bt, sl, scale)
+        out = pallas_paged_decode_attention(q, k, v, bt, sl, scale, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_gqa_grouping(self):
+        q, k, v, bt, sl = make_case(B=2, nq=16, nkv=2, hd=64, ps=8, P=8, W=4, seed=3)
+        scale = 0.125
+        ref = paged_decode_attention(q, k, v, bt, sl, scale)
+        out = pallas_paged_decode_attention(q, k, v, bt, sl, scale, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_inactive_slots_are_finite(self):
+        """seq_len == 0 (padding slot) must produce zeros, not NaN."""
+        q, k, v, bt, sl = make_case(B=3, seed=4)
+        sl = sl.at[1].set(0)
+        out = pallas_paged_decode_attention(q, k, v, bt, sl, q.shape[-1] ** -0.5,
+                                            interpret=True)
+        assert np.all(np.isfinite(np.asarray(out)))
+        np.testing.assert_allclose(np.asarray(out[1]), 0.0)
+
+    def test_single_token_context(self):
+        q, k, v, bt, sl = make_case(B=2, seed=5)
+        sl = jnp.asarray([1, 1], jnp.int32)
+        scale = q.shape[-1] ** -0.5
+        ref = paged_decode_attention(q, k, v, bt, sl, scale)
+        out = pallas_paged_decode_attention(q, k, v, bt, sl, scale, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_bf16_inputs(self):
+        q, k, v, bt, sl = make_case(seed=6, dtype=jnp.bfloat16)
+        scale = q.shape[-1] ** -0.5
+        ref = paged_decode_attention(q, k, v, bt, sl, scale)
+        out = pallas_paged_decode_attention(q, k, v, bt, sl, scale, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )

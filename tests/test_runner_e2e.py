@@ -1,0 +1,158 @@
+"""End-to-end engine tests with the real JAX runner (tiny model, CPU).
+
+The decisive correctness check: greedy generation through the full
+continuous-batching paged-KV path must equal a token-by-token greedy loop
+over the cache-less ``forward_full`` twin — the KV-cached analog of the
+reference's causal-consistency invariant (``layer_test.rs:165-202``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nano_vllm_candle_tpu.config import EngineConfig, Qwen3Config
+from nano_vllm_candle_tpu.llm import LLM
+from nano_vllm_candle_tpu.models import qwen3
+from nano_vllm_candle_tpu.sampling_params import SamplingParams
+
+CFG = Qwen3Config.tiny()
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return qwen3.init_params(CFG, jax.random.key(3), dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def reference_greedy(tiny_params):
+    """Token-by-token greedy continuation via full recompute."""
+
+    def _gen(prompt, n):
+        tokens = list(prompt)
+        for _ in range(n):
+            logits = qwen3.forward_full(
+                tiny_params, jnp.asarray(tokens, jnp.int32), config=CFG
+            )
+            nxt = int(jnp.argmax(logits[-1]))
+            tokens.append(nxt)
+            if nxt == CFG.eos_token_id:
+                break
+        return tokens[len(prompt):]
+
+    return _gen
+
+
+def make_llm(tiny_params, **eng_kw):
+    defaults = dict(
+        max_num_seqs=4,
+        max_num_batched_tokens=256,
+        num_kvcache_blocks=64,
+        kvcache_block_size=8,
+        max_model_len=256,
+        dtype="float32",
+        kv_cache_dtype="float32",
+        prefill_buckets=(32, 64, 128, 256),
+        use_pallas_kernels=False,
+    )
+    defaults.update(eng_kw)
+    return LLM(config=CFG, params=tiny_params, engine_config=EngineConfig(**defaults))
+
+
+GREEDY = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+
+
+class TestPagedVsFullRecompute:
+    def test_single_prompt_greedy(self, tiny_params, reference_greedy):
+        llm = make_llm(tiny_params)
+        prompt = [5, 17, 42, 7]
+        out = llm.generate([prompt], GREEDY)
+        assert out[0].token_ids == reference_greedy(prompt, 8)
+
+    def test_batched_prompts_greedy(self, tiny_params, reference_greedy):
+        """Continuous batching of different-length prompts must not change
+        any sequence's greedy continuation."""
+        llm = make_llm(tiny_params)
+        prompts = [[3, 1, 4, 1, 5, 9, 2, 6], [2, 7], [10, 20, 30, 40, 50]]
+        outs = llm.generate(prompts, GREEDY)
+        for prompt, out in zip(prompts, outs):
+            assert out.token_ids == reference_greedy(prompt, 8), prompt
+
+    def test_more_prompts_than_slots(self, tiny_params, reference_greedy):
+        """Waiting-queue admission: 6 prompts through 2 slots."""
+        llm = make_llm(tiny_params, max_num_seqs=2)
+        prompts = [[i + 1, i + 2, i + 3] for i in range(6)]
+        outs = llm.generate(prompts, SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True))
+        for prompt, out in zip(prompts, outs):
+            assert out.token_ids == reference_greedy(prompt, 4), prompt
+
+    def test_block_boundary_crossing(self, tiny_params, reference_greedy):
+        """Generation crossing multiple block boundaries (block_size=8,
+        prompt 6 + 12 generated spans 3 blocks)."""
+        llm = make_llm(tiny_params)
+        prompt = [9, 8, 7, 6, 5, 4]
+        out = llm.generate(
+            [prompt], SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+        )
+        assert out[0].token_ids == reference_greedy(prompt, 12)
+
+    def test_prefix_cache_does_not_change_output(self, tiny_params, reference_greedy):
+        """Second generation sharing a full-block prefix must be identical."""
+        llm = make_llm(tiny_params)
+        base = [11, 12, 13, 14, 15, 16, 17, 18]  # exactly one 8-token block
+        out1 = llm.generate([base + [1]], GREEDY)
+        out2 = llm.generate([base + [2]], GREEDY)
+        assert out1[0].token_ids == reference_greedy(base + [1], 8)
+        assert out2[0].token_ids == reference_greedy(base + [2], 8)
+
+
+class TestSamplingIntegration:
+    def test_eos_stops_generation(self, tiny_params):
+        llm = make_llm(tiny_params)
+        # force "eos next": find a prompt whose greedy next == eos is hard;
+        # instead just check max_tokens bound + ignore_eos False terminates.
+        out = llm.generate([[1, 2, 3]], SamplingParams(temperature=0.0, max_tokens=5))
+        assert 1 <= len(out[0].token_ids) <= 5
+
+    def test_stochastic_sampling_varies_with_seed(self, tiny_params):
+        llm_a = make_llm(tiny_params, seed=0)
+        llm_b = make_llm(tiny_params, seed=1)
+        sp = SamplingParams(temperature=5.0, max_tokens=12, ignore_eos=True)
+        a = llm_a.generate([[1, 2, 3]], sp)[0].token_ids
+        b = llm_b.generate([[1, 2, 3]], sp)[0].token_ids
+        assert a != b  # astronomically unlikely to collide at temp 5
+
+    def test_same_seed_reproducible(self, tiny_params):
+        sp = SamplingParams(temperature=1.0, max_tokens=6, ignore_eos=True)
+        a = make_llm(tiny_params, seed=7).generate([[4, 5]], sp)[0].token_ids
+        b = make_llm(tiny_params, seed=7).generate([[4, 5]], sp)[0].token_ids
+        assert a == b
+
+    def test_per_request_params(self, tiny_params):
+        llm = make_llm(tiny_params)
+        outs = llm.generate(
+            [[1, 2], [1, 2]],
+            [
+                SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True),
+                SamplingParams(temperature=3.0, max_tokens=5, ignore_eos=True),
+            ],
+        )
+        assert len(outs[0].token_ids) == 3
+        assert len(outs[1].token_ids) == 5
+
+
+class TestPreemptionWithRealRunner:
+    def test_preemption_preserves_greedy_outputs(self, tiny_params, reference_greedy):
+        """Tight KV budget forces preemption; outputs must be unchanged."""
+        llm = make_llm(
+            tiny_params,
+            max_num_seqs=2,
+            num_kvcache_blocks=6,  # 5 usable * 8 = 40 token slots, tight
+            kvcache_block_size=8,
+        )
+        prompts = [[3, 1, 4, 1, 5], [2, 7, 1, 8]]
+        sp = SamplingParams(temperature=0.0, max_tokens=14, ignore_eos=True)
+        outs = llm.generate(prompts, sp)
+        for prompt, out in zip(prompts, outs):
+            assert out.token_ids == reference_greedy(prompt, 14), prompt
+        assert llm.engine.metrics["preemptions"] >= 1
