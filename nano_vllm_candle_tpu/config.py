@@ -172,6 +172,7 @@ class EngineConfig:
     dtype: str = "bfloat16"  # parameter/activation dtype
     kv_cache_dtype: str = "bfloat16"  # or "int8"
     quantization: Optional[str] = None  # None | "int8" | "int4" (weight-only)
+    quant_group_size: int = 128  # sub-channel group along the contraction dim
     prefill_buckets: Sequence[int] = DEFAULT_PREFILL_BUCKETS
     use_pallas_kernels: bool = True  # pallas kernels on TPU, XLA fallback elsewhere
     # parallelism (mesh axes); tp shards heads/ffn, dp shards request slots

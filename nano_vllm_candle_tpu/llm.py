@@ -57,6 +57,15 @@ class LLM:
                 config, jax.random.key(engine_config.seed),
                 dtype=jnp.dtype(engine_config.dtype),
             )
+        if engine_config.quantization is not None:
+            from nano_vllm_candle_tpu.layers.linear import quantize_qwen3_params
+
+            logger.info("quantizing weights to %s", engine_config.quantization)
+            params = quantize_qwen3_params(
+                params,
+                bits=engine_config.quantization,
+                group_size=engine_config.quant_group_size,
+            )
 
         self.config = config
         self.engine_config = engine_config

@@ -39,6 +39,7 @@ from nano_vllm_candle_tpu.ops.attention import (
     packed_prefill_attention,
     paged_decode_attention,
 )
+from nano_vllm_candle_tpu.layers.linear import matmul
 from nano_vllm_candle_tpu.ops.layernorm import head_rms_norm, rms_norm
 from nano_vllm_candle_tpu.ops.rotary import apply_rope, build_rope_table
 
@@ -66,8 +67,23 @@ class DecodeBatch(NamedTuple):
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # [L, num_kv_heads, num_pages, page_size, head_dim]
+    """Paged KV cache; optionally INT8-quantized with per-vector scales.
+
+    ``k``/``v``: ``[L, num_kv_heads, num_pages, page_size, head_dim]``
+    (bf16/f32, or int8 when quantized). ``k_scale``/``v_scale``:
+    ``[L, num_kv_heads, num_pages, page_size]`` f32 per-stored-vector
+    scales, or None for unquantized caches. INT8 KV halves the HBM
+    bandwidth per decoded token — the dominant cost at long context.
+    """
+
+    k: jax.Array
     v: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
 
 def init_kv_cache(
@@ -83,6 +99,13 @@ def init_kv_cache(
         page_size,
         config.head_dim,
     )
+    if jnp.dtype(dtype) == jnp.int8:
+        return KVCache(
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(shape[:-1], jnp.float32),
+            jnp.zeros(shape[:-1], jnp.float32),
+        )
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -139,24 +162,52 @@ def rope_tables(config: Qwen3Config) -> Tuple[jax.Array, jax.Array]:
 # --------------------------------------------------------------------------
 
 
+def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-vector symmetric int8: x[T, nkv, hd] -> (int8 values, f32 scales
+    [T, nkv]) with true scale (dequant = q * scale)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def _write_kv(
     k_cache_l: jax.Array,
     v_cache_l: jax.Array,
+    kcs_l: Optional[jax.Array],
+    vcs_l: Optional[jax.Array],
     k: jax.Array,
     v: jax.Array,
     slot_mapping: jax.Array,
-) -> Tuple[jax.Array, jax.Array]:
+):
     """Scatter new k/v rows into this layer's paged cache.
 
     k/v: ``[T, nkv, hd]``; slot_mapping: ``[T]`` flat slots. Padding tokens
     carry slots inside the null page 0, so the scatter is unconditional.
+    For int8 caches, values are quantized per vector and scales scattered
+    alongside.
     """
     nkv, P, ps, hd = k_cache_l.shape
+    if kcs_l is not None:
+        k, k_scale = _quantize_kv(k)
+        v, v_scale = _quantize_kv(v)
+        kcs = kcs_l.reshape(nkv, P * ps)
+        vcs = vcs_l.reshape(nkv, P * ps)
+        kcs = kcs.at[:, slot_mapping].set(k_scale.T, mode="drop")
+        vcs = vcs.at[:, slot_mapping].set(v_scale.T, mode="drop")
+        kcs_l = kcs.reshape(nkv, P, ps)
+        vcs_l = vcs.reshape(nkv, P, ps)
     k_flat = k_cache_l.reshape(nkv, P * ps, hd)
     v_flat = v_cache_l.reshape(nkv, P * ps, hd)
     k_flat = k_flat.at[:, slot_mapping, :].set(k.transpose(1, 0, 2), mode="drop")
     v_flat = v_flat.at[:, slot_mapping, :].set(v.transpose(1, 0, 2), mode="drop")
-    return k_flat.reshape(nkv, P, ps, hd), v_flat.reshape(nkv, P, ps, hd)
+    return (
+        k_flat.reshape(nkv, P, ps, hd),
+        v_flat.reshape(nkv, P, ps, hd),
+        kcs_l,
+        vcs_l,
+    )
 
 
 def _decoder_layer(
@@ -165,61 +216,65 @@ def _decoder_layer(
     lp: Params,
     k_cache_l: jax.Array,
     v_cache_l: jax.Array,
+    kcs_l: Optional[jax.Array],
+    vcs_l: Optional[jax.Array],
     batch,
     cos: jax.Array,
     sin: jax.Array,
     config: Qwen3Config,
     mode: str,
     attn_impl: str,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+):
     """One decoder layer with the reference's residual-threading contract
-    (``qwen3.rs:374-399``). Returns (hidden, residual, k_cache_l, v_cache_l)."""
+    (``qwen3.rs:374-399``)."""
     c = config
     T = hidden.shape[0]
     scale = c.head_dim**-0.5
 
     normed, residual = rms_norm(hidden, lp["input_layernorm"], c.rms_norm_eps, residual)
 
-    # QKV projections (column-parallel under TP; sharding via pjit annotations)
-    q = (normed @ lp["q_proj"]).reshape(T, c.num_attention_heads, c.head_dim)
-    k = (normed @ lp["k_proj"]).reshape(T, c.num_key_value_heads, c.head_dim)
-    v = (normed @ lp["v_proj"]).reshape(T, c.num_key_value_heads, c.head_dim)
+    # QKV projections (column-parallel under TP; plain or int-quantized)
+    q = matmul(normed, lp["q_proj"]).reshape(T, c.num_attention_heads, c.head_dim)
+    k = matmul(normed, lp["k_proj"]).reshape(T, c.num_key_value_heads, c.head_dim)
+    v = matmul(normed, lp["v_proj"]).reshape(T, c.num_key_value_heads, c.head_dim)
 
     # Per-head RMSNorm before RoPE (qwen3.rs:224-232)
     q = head_rms_norm(q, lp["q_norm"], c.rms_norm_eps)
     k = head_rms_norm(k, lp["k_norm"], c.rms_norm_eps)
     q, k = apply_rope(q, k, batch.positions, cos, sin)
 
-    k_cache_l, v_cache_l = _write_kv(k_cache_l, v_cache_l, k, v, batch.slot_mapping)
+    k_cache_l, v_cache_l, kcs_l, vcs_l = _write_kv(
+        k_cache_l, v_cache_l, kcs_l, vcs_l, k, v, batch.slot_mapping
+    )
 
     if mode == "prefill":
         attn_out = packed_prefill_attention(
             q, k, v, batch.seg_ids, batch.positions, scale
         )
-    else:
-        if attn_impl == "pallas":
-            from nano_vllm_candle_tpu.kernels.paged_decode import (
-                pallas_paged_decode_attention,
-            )
+    elif attn_impl == "pallas" and kcs_l is None:
+        from nano_vllm_candle_tpu.kernels.paged_decode import (
+            pallas_paged_decode_attention,
+        )
 
-            attn_out = pallas_paged_decode_attention(
-                q, k_cache_l, v_cache_l, batch.block_tables, batch.seq_lens, scale
-            )
-        else:
-            attn_out = paged_decode_attention(
-                q, k_cache_l, v_cache_l, batch.block_tables, batch.seq_lens, scale
-            )
+        attn_out = pallas_paged_decode_attention(
+            q, k_cache_l, v_cache_l, batch.block_tables, batch.seq_lens, scale
+        )
+    else:
+        attn_out = paged_decode_attention(
+            q, k_cache_l, v_cache_l, batch.block_tables, batch.seq_lens, scale,
+            k_scale=kcs_l, v_scale=vcs_l,
+        )
 
     # Row-parallel o_proj (all-reduce inserted by GSPMD under TP)
-    hidden = attn_out.reshape(T, c.q_size) @ lp["o_proj"]
+    hidden = matmul(attn_out.reshape(T, c.q_size), lp["o_proj"])
 
     normed, residual = rms_norm(
         hidden, lp["post_attention_layernorm"], c.rms_norm_eps, residual
     )
-    gate = normed @ lp["gate_proj"]
-    up = normed @ lp["up_proj"]
-    hidden = (jax.nn.silu(gate) * up) @ lp["down_proj"]
-    return hidden, residual, k_cache_l, v_cache_l
+    gate = matmul(normed, lp["gate_proj"])
+    up = matmul(normed, lp["up_proj"])
+    hidden = matmul(jax.nn.silu(gate) * up, lp["down_proj"])
+    return hidden, residual, k_cache_l, v_cache_l, kcs_l, vcs_l
 
 
 def forward(
@@ -245,21 +300,23 @@ def forward(
 
     def layer_fn(carry, xs):
         h, r = carry
-        lp, kc, vc = xs
-        h, r, kc, vc = _decoder_layer(
-            h, r, lp, kc, vc, batch, cos, sin, c, mode, attn_impl
+        lp, kc, vc, kcs, vcs = xs
+        h, r, kc, vc, kcs, vcs = _decoder_layer(
+            h, r, lp, kc, vc, kcs, vcs, batch, cos, sin, c, mode, attn_impl
         )
-        return (h, r), (kc, vc)
+        return (h, r), (kc, vc, kcs, vcs)
 
-    (hidden, residual), (new_k, new_v) = jax.lax.scan(
-        layer_fn, (hidden, residual), (params["layers"], kv_cache.k, kv_cache.v)
+    (hidden, residual), (new_k, new_v, new_kcs, new_vcs) = jax.lax.scan(
+        layer_fn,
+        (hidden, residual),
+        (params["layers"], kv_cache.k, kv_cache.v, kv_cache.k_scale, kv_cache.v_scale),
     )
 
     hidden, _ = rms_norm(hidden, params["norm"], c.rms_norm_eps, residual)
 
     if mode == "prefill":
         hidden = hidden[batch.logits_indices]  # [B, H]
-    return hidden, KVCache(new_k, new_v)
+    return hidden, KVCache(new_k, new_v, new_kcs, new_vcs)
 
 
 def compute_logits(params: Params, hidden: jax.Array) -> jax.Array:

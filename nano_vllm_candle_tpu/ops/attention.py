@@ -76,6 +76,8 @@ def paged_decode_attention(
     block_tables: jax.Array,
     seq_lens: jax.Array,
     scale: float,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     """One-token-per-sequence attention against the paged KV cache.
 
@@ -87,6 +89,8 @@ def paged_decode_attention(
       seq_lens: ``[B]`` int32 — tokens in context *including* the new token
         (whose k/v must already be written to the cache).
       scale: softmax scale.
+      k_scale/v_scale: ``[num_kv_heads, num_pages, page_size]`` per-vector
+        dequant scales for INT8 caches (None = unquantized).
 
     Returns:
       ``[B, num_q_heads, head_dim]``.
@@ -99,6 +103,12 @@ def paged_decode_attention(
     # Gather each sequence's pages: [nkv, B, W, page_size, hd] -> [nkv, B, S, hd]
     k = jnp.take(k_cache, block_tables, axis=1).reshape(nkv, B, W * page_size, hd)
     v = jnp.take(v_cache, block_tables, axis=1).reshape(nkv, B, W * page_size, hd)
+    if k_scale is not None:
+        ks = jnp.take(k_scale, block_tables, axis=1).reshape(nkv, B, W * page_size, 1)
+        vs = jnp.take(v_scale, block_tables, axis=1).reshape(nkv, B, W * page_size, 1)
+        compute_dtype = q.dtype if q.dtype != jnp.int8 else jnp.bfloat16
+        k = (k.astype(jnp.float32) * ks).astype(compute_dtype)
+        v = (v.astype(jnp.float32) * vs).astype(compute_dtype)
 
     qg = q.reshape(B, nkv, g, hd)
     scores = jnp.einsum(

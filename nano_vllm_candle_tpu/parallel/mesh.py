@@ -46,45 +46,73 @@ def make_mesh(
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
-def qwen3_param_pspecs(config: Qwen3Config) -> Any:
-    """PartitionSpec pytree matching ``models.qwen3`` params."""
+# column-parallel (shard output dim) / row-parallel (shard contraction dim) /
+# replicated, per layer entry — the linear.rs variant mapping (layers/linear.py)
+_LAYER_KINDS = {
+    "input_layernorm": "rep",
+    "q_proj": "col",
+    "k_proj": "col",
+    "v_proj": "col",
+    "q_norm": "rep",
+    "k_norm": "rep",
+    "o_proj": "row",
+    "post_attention_layernorm": "rep",
+    "gate_proj": "col",
+    "up_proj": "col",
+    "down_proj": "row",
+}
+
+
+def _spec_for(kind: str, ndim: int) -> P:
+    """Kind → PartitionSpec, robust to quantized-weight leaf shapes.
+
+    Plain stacked weights are ``[L, in, out]``; quantized ones are
+    ``q[L, G, gs, out]`` + ``s[L, G, 1, out]`` (layers/linear.py). Column
+    kinds shard the last (output) dim; row kinds shard axis 1 — ``in`` for
+    plain, the group axis ``G`` for quantized — both the contraction dim.
+    """
+    if kind == "col":
+        return P(*([None] * (ndim - 1)), "tp")
+    if kind == "row":
+        return P(None, "tp", *([None] * (ndim - 2)))
+    return P(*([None] * ndim))
+
+
+def qwen3_param_pspecs(config: Qwen3Config, params: Any) -> Any:
+    """PartitionSpec pytree matching ``params`` (plain or quantized)."""
+    layer_specs = {
+        name: jax.tree.map(lambda leaf: _spec_for(kind, leaf.ndim), subtree)
+        for name, subtree in params["layers"].items()
+        for kind in (_LAYER_KINDS[name],)
+    }
     specs = {
         "embed_tokens": P(None, None),  # replicated (gather-friendly)
-        "layers": {
-            "input_layernorm": P(None, None),
-            "q_proj": P(None, None, "tp"),  # column-parallel
-            "k_proj": P(None, None, "tp"),
-            "v_proj": P(None, None, "tp"),
-            "q_norm": P(None, None),
-            "k_norm": P(None, None),
-            "o_proj": P(None, "tp", None),  # row-parallel (+psum by GSPMD)
-            "post_attention_layernorm": P(None, None),
-            "gate_proj": P(None, None, "tp"),
-            "up_proj": P(None, None, "tp"),
-            "down_proj": P(None, "tp", None),  # row-parallel (+psum)
-        },
+        "layers": layer_specs,
         "norm": P(None),
     }
-    if not config.tie_word_embeddings:
+    if "lm_head" in params:
         specs["lm_head"] = P(None, "tp")  # vocab-parallel head
     return specs
 
 
-def kv_cache_pspec() -> P:
-    """[L, num_kv_heads, pages, page_size, head_dim] — shard kv_heads on tp."""
-    return P(None, "tp", None, None, None)
+def kv_cache_pspec(ndim: int = 5) -> P:
+    """[L, num_kv_heads, pages, page_size(, head_dim)] — shard kv_heads on
+    tp; rank 4 covers the int8 per-vector scale arrays."""
+    return P(None, "tp", *([None] * (ndim - 2)))
 
 
 def shard_params(params: Any, mesh: Mesh, config: Qwen3Config) -> Any:
-    specs = qwen3_param_pspecs(config)
+    specs = qwen3_param_pspecs(config, params)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
 
 
 def shard_kv_cache(kv_cache: Any, mesh: Mesh) -> Any:
-    sharding = NamedSharding(mesh, kv_cache_pspec())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), kv_cache)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, kv_cache_pspec(x.ndim))),
+        kv_cache,
+    )
 
 
 def validate_tp(config: Qwen3Config, tp: int) -> None:
