@@ -167,6 +167,7 @@ class EngineConfig:
     kvcache_block_size: int = 128
     max_blocks_per_seq: Optional[int] = None  # default: max_model_len / block_size
     enable_prefix_caching: bool = True
+    native_block_manager: bool = True  # C++ allocator (csrc/), Python fallback
     # model execution
     max_model_len: int = 4096
     dtype: str = "bfloat16"  # parameter/activation dtype

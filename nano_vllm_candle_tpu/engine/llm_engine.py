@@ -128,7 +128,13 @@ class LLMEngine:
         prompts: Seq[Seq[int]],
         sampling_params: SamplingParams | Seq[SamplingParams],
     ) -> List[GenerationOutput]:
-        """Run all prompts to completion (``llm_engine.rs:270-325``)."""
+        """Run all prompts to completion (``llm_engine.rs:270-325``).
+
+        When the runner supports chained dispatch, decode runs as a 2-deep
+        pipeline: burst t+1 is dispatched (continuing from burst t's
+        on-device tokens) *before* burst t's results are fetched, so the
+        device never idles on host round trips.
+        """
         if isinstance(sampling_params, SamplingParams):
             params_list: List[SamplingParams] = [sampling_params] * len(prompts)
         else:
@@ -137,21 +143,66 @@ class LLMEngine:
             self.add_request(p, sp) for p, sp in zip(prompts, params_list)
         ]
         want = set(seq_ids)
-
         collected: Dict[int, List[int]] = {}
-        t0 = time.perf_counter()
-        while not self.is_finished():
-            step_out = self.step()
-            for seq_id, completion in step_out.outputs:
-                if seq_id in want:
-                    collected[seq_id] = completion
-            if logger.isEnabledFor(logging.DEBUG):
-                logger.debug(
-                    "step prefill=%s tokens=%d elapsed=%.3fs",
-                    step_out.is_prefill, step_out.num_tokens,
-                    time.perf_counter() - t0,
+
+        def collect(seqs) -> None:
+            for seq in seqs:
+                if seq.is_finished and seq.seq_id in want:
+                    collected[seq.seq_id] = list(seq.completion_token_ids)
+
+        pipelined = getattr(self.model_runner, "supports_chaining", False)
+        pending = None  # (seqs, token_future)
+        while not self.is_finished() or pending is not None:
+            if pending is None:
+                seqs, is_prefill = self.scheduler.schedule()
+                if not seqs:
+                    continue
+                if is_prefill or not pipelined:
+                    tokens = self.model_runner.run(seqs, is_prefill)
+                    accepted = self.scheduler.post_process(seqs, tokens)
+                    self._account(is_prefill, seqs, accepted)
+                    collect(seqs)
+                    continue
+                pending = (seqs, self.model_runner.dispatch_decode(seqs, chained=False))
+                continue
+
+            seqs_p, fut = pending
+            K = self.scheduler.decode_burst
+            bm = self.scheduler.block_manager
+            # Sequences that finished during an already-fetched burst still
+            # occupy rows (their chained tokens are discarded); only live
+            # ones need blocks or justify another burst.
+            active = [s for s in seqs_p if not s.is_finished]
+            can_chain = (
+                bool(active)
+                and not self.scheduler.waiting
+                and all(bm.can_extend(seq, 2 * K) for seq in active)
+                and any(
+                    seq.max_tokens - seq.num_completion_tokens > K for seq in active
                 )
+            )
+            fut2 = None
+            if can_chain:
+                for seq in active:
+                    bm.extend(seq, 2 * K)
+                fut2 = self.model_runner.dispatch_decode(seqs_p, chained=True)
+            tokens = self.model_runner.fetch_decode(fut)
+            accepted = self.scheduler.post_process(seqs_p, tokens)
+            self._account(False, seqs_p, accepted)
+            collect(seqs_p)
+            pending = (seqs_p, fut2) if fut2 is not None else None
+
         return [
             GenerationOutput(seq_id=sid, token_ids=collected.get(sid, []))
             for sid in seq_ids
         ]
+
+    def _account(self, is_prefill: bool, seqs, accepted: int) -> None:
+        self.metrics["steps"] += 1
+        if is_prefill:
+            self.metrics["prefill_tokens"] += sum(
+                len(s) - 1 - s.num_cached_tokens for s in seqs
+            )
+        else:
+            self.metrics["decode_tokens"] += accepted
+        self.metrics["preemptions"] = self.scheduler.num_preemptions

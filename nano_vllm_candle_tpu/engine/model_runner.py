@@ -96,9 +96,11 @@ class JaxModelRunner:
         )
         self._decode_jit = jax.jit(
             self._decode_step,
-            static_argnames=("use_top_k", "use_top_p"),
+            static_argnames=("chained", "use_top_k", "use_top_p"),
             donate_argnames=("kv_cache",),
         )
+        # last dispatched burst's [K, B] token output (device) for chaining
+        self._chain_tokens = None
 
     # -- jitted step functions ------------------------------------------------
     #
@@ -145,8 +147,10 @@ class JaxModelRunner:
         kv_cache,
         seq_i32,  # [B, 5 + W]: token, position, slot, seq_len, top_k, block_table...
         seq_f32,  # [B, 2]: temperature, top_p
+        prev_tokens,  # [B] device tokens from the previous burst (chained mode)
         step,
         *,
+        chained: bool,
         use_top_k: bool,
         use_top_p: bool,
     ):
@@ -154,10 +158,16 @@ class JaxModelRunner:
         dispatch, sampled tokens feeding the next step **on device**. Over a
         tunneled/remote chip this amortizes the per-dispatch round trip K×;
         the scheduler pre-allocates every burst's blocks (scheduler.py
-        ``_schedule_decode``)."""
+        ``_schedule_decode``).
+
+        ``chained=True`` starts from ``prev_tokens`` (the previous burst's
+        on-device output) instead of host-provided tokens, letting the engine
+        dispatch burst t+1 before burst t's results reach the host — the
+        2-deep pipeline that hides dispatch/fetch latency entirely.
+        """
         K = self.decode_burst
         bs = self.block_size
-        start_tokens = seq_i32[:, 0]
+        start_tokens = prev_tokens if chained else seq_i32[:, 0]
         start_pos = seq_i32[:, 1]
         start_len = seq_i32[:, 3]
         top_k = seq_i32[:, 4]
@@ -207,9 +217,13 @@ class JaxModelRunner:
             )
         return self.buckets[i]
 
-    def _seq_arrays(self, seqs: List[Sequence], *, decode: bool):
+    def _seq_arrays(self, seqs: List[Sequence], *, decode: bool, pos_offset: int = 0):
         """Per-slot packed arrays. Decode: int32 [B, 5+W] + f32 [B, 2];
-        prefill: int32 [B, 2] (logits_idx, top_k) + f32 [B, 2]."""
+        prefill: int32 [B, 2] (logits_idx, top_k) + f32 [B, 2].
+
+        ``pos_offset``: for chained bursts the host state is stale by exactly
+        one in-flight burst; positions/lengths are advanced by that offset.
+        """
         bm = self.block_manager
         B = self.max_num_seqs
         W = self.max_blocks_per_seq
@@ -218,7 +232,7 @@ class JaxModelRunner:
         if decode:
             seq_i32 = np.zeros((B, 5 + W), np.int32)
             for i, seq in enumerate(seqs):
-                L = len(seq)
+                L = len(seq) + pos_offset
                 nb = len(seq.block_table)
                 if nb > W:
                     raise ValueError(
@@ -227,7 +241,6 @@ class JaxModelRunner:
                     )
                 seq_i32[i, 0] = seq.last_token
                 seq_i32[i, 1] = L - 1
-                seq_i32[i, 2] = bm.slot_for(seq, L - 1)
                 seq_i32[i, 3] = L
                 seq_i32[i, 4] = seq.top_k
                 seq_i32[i, 5 : 5 + nb] = seq.block_table
@@ -280,33 +293,61 @@ class JaxModelRunner:
         B = self.max_num_seqs
         if len(seqs) > B:
             raise ValueError(f"{len(seqs)} scheduled seqs > max_num_seqs={B}")
+        if not is_prefill:
+            return self.fetch_decode(self.dispatch_decode(seqs, chained=False))
+
         step = jnp.int32(self._step_counter)
         self._step_counter += 1
-
-        seq_i32, seq_f32, use_top_k, use_top_p = self._seq_arrays(
-            seqs, decode=not is_prefill
-        )
+        seq_i32, seq_f32, use_top_k, use_top_p = self._seq_arrays(seqs, decode=False)
         row_sh = self._dp_sharding(row_sharded=True)
-        if is_prefill:
-            tok_i32 = self._build_prefill_tokens(seqs, seq_i32)
-            tokens, self.kv_cache = self._prefill_jit(
-                self.params, self.kv_cache,
-                jnp.asarray(tok_i32),
-                jax.device_put(seq_i32, row_sh) if row_sh else jnp.asarray(seq_i32),
-                jax.device_put(seq_f32, row_sh) if row_sh else jnp.asarray(seq_f32),
-                step, use_top_k=use_top_k, use_top_p=use_top_p,
-            )
-            host_tokens = np.asarray(jax.device_get(tokens))  # [B]
-            return [[int(t)] for t in host_tokens[: len(seqs)]]
-
-        tokens, self.kv_cache = self._decode_jit(
+        tok_i32 = self._build_prefill_tokens(seqs, seq_i32)
+        tokens, self.kv_cache = self._prefill_jit(
             self.params, self.kv_cache,
+            jnp.asarray(tok_i32),
             jax.device_put(seq_i32, row_sh) if row_sh else jnp.asarray(seq_i32),
             jax.device_put(seq_f32, row_sh) if row_sh else jnp.asarray(seq_f32),
             step, use_top_k=use_top_k, use_top_p=use_top_p,
         )
+        host_tokens = np.asarray(jax.device_get(tokens))  # [B]
+        return [[int(t)] for t in host_tokens[: len(seqs)]]
+
+    # -- pipelined decode (2-deep: dispatch burst t+1 before fetching t) ------
+
+    supports_chaining = True
+
+    def dispatch_decode(self, seqs: List[Sequence], *, chained: bool):
+        """Dispatch one decode burst without waiting for results. In chained
+        mode the burst's initial tokens are the previous burst's on-device
+        output, and host-side positions/lengths are advanced by one burst."""
+        assert self.block_manager is not None
+        step = jnp.int32(self._step_counter)
+        self._step_counter += 1
+        offset = self.decode_burst if chained else 0
+        seq_i32, seq_f32, use_top_k, use_top_p = self._seq_arrays(
+            seqs, decode=True, pos_offset=offset
+        )
+        row_sh = self._dp_sharding(row_sharded=True)
+        if chained:
+            prev = self._chain_tokens[-1]
+        else:
+            prev = jnp.zeros((self.max_num_seqs,), jnp.int32)
+        tokens, self.kv_cache = self._decode_jit(
+            self.params, self.kv_cache,
+            jax.device_put(seq_i32, row_sh) if row_sh else jnp.asarray(seq_i32),
+            jax.device_put(seq_f32, row_sh) if row_sh else jnp.asarray(seq_f32),
+            prev, step, chained=chained, use_top_k=use_top_k, use_top_p=use_top_p,
+        )
+        self._chain_tokens = tokens
+        try:
+            tokens.copy_to_host_async()
+        except Exception:
+            pass
+        return (tokens, len(seqs))
+
+    def fetch_decode(self, fut) -> List[List[int]]:
+        tokens, n = fut
         host_tokens = np.asarray(jax.device_get(tokens))  # [K, B]
         return [
             [int(host_tokens[k, i]) for k in range(host_tokens.shape[0])]
-            for i in range(len(seqs))
+            for i in range(n)
         ]

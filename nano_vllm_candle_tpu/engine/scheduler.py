@@ -39,6 +39,8 @@ class SchedulerConfig:
     # (multi-step decode; sampled tokens feed forward on device). 1 =
     # reference-style single-step scheduling.
     decode_burst: int = 1
+    # Use the C++ block manager (csrc/) when buildable; falls back to Python.
+    native_block_manager: bool = True
 
     def with_max_num_seqs(self, n: int) -> "SchedulerConfig":
         return dataclasses.replace(self, max_num_seqs=n)
@@ -60,13 +62,22 @@ class Scheduler:
         self.max_num_seqs = config.max_num_seqs
         self.max_num_batched_tokens = config.max_num_batched_tokens
         self.eos = config.eos
-        self.block_manager = BlockManager(
-            BlockManagerConfig(
-                num_blocks=config.num_kvcache_blocks,
-                block_size=config.kvcache_block_size,
-                enable_prefix_caching=config.enable_prefix_caching,
-            )
+        bm_config = BlockManagerConfig(
+            num_blocks=config.num_kvcache_blocks,
+            block_size=config.kvcache_block_size,
+            enable_prefix_caching=config.enable_prefix_caching,
         )
+        self.block_manager = None
+        if config.native_block_manager:
+            try:
+                from nano_vllm_candle_tpu.engine.native import NativeBlockManager
+
+                self.block_manager = NativeBlockManager(bm_config)
+                logger.debug("using native (C++) block manager")
+            except Exception as e:
+                logger.warning("native block manager unavailable (%s); using Python", e)
+        if self.block_manager is None:
+            self.block_manager = BlockManager(bm_config)
         self.block_size = config.kvcache_block_size
         self.decode_burst = max(1, config.decode_burst)
         self.waiting: Deque[Sequence] = deque()
@@ -188,6 +199,13 @@ class Scheduler:
         assert len(seqs) == len(token_ids)
         accepted = 0
         for seq, tokens in zip(seqs, token_ids):
+            if seq.is_finished:
+                # Pipelined decode: a chained burst was dispatched before this
+                # sequence's finish was known; its speculative tokens (and KV
+                # writes into since-freed blocks) are discarded. Freed blocks
+                # are safe to reuse concurrently: reads are seq_len-masked and
+                # later writes win device ordering.
+                continue
             hit_eos = hit_cap = False
             for token_id in tokens:
                 seq.append_token(token_id)

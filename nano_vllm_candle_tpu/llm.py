@@ -78,6 +78,7 @@ class LLM:
                 kvcache_block_size=engine_config.kvcache_block_size,
                 enable_prefix_caching=engine_config.enable_prefix_caching,
                 decode_burst=engine_config.decode_burst,
+                native_block_manager=engine_config.native_block_manager,
             )
         )
         self.model_runner = JaxModelRunner(
