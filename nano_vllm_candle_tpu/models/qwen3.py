@@ -248,9 +248,18 @@ def _decoder_layer(
     )
 
     if mode == "prefill":
-        attn_out = packed_prefill_attention(
-            q, k, v, batch.seg_ids, batch.positions, scale
-        )
+        if attn_impl == "pallas":
+            from nano_vllm_candle_tpu.kernels.flash_prefill import (
+                pallas_packed_prefill_attention,
+            )
+
+            attn_out = pallas_packed_prefill_attention(
+                q, k, v, batch.seg_ids, batch.positions, scale
+            )
+        else:
+            attn_out = packed_prefill_attention(
+                q, k, v, batch.seg_ids, batch.positions, scale
+            )
     elif attn_impl == "pallas" and kcs_l is None:
         from nano_vllm_candle_tpu.kernels.paged_decode import (
             pallas_paged_decode_attention,

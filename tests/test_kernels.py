@@ -71,3 +71,70 @@ class TestPagedDecodeKernel:
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2,
         )
+
+
+from nano_vllm_candle_tpu.ops.attention import packed_prefill_attention
+from nano_vllm_candle_tpu.kernels.flash_prefill import pallas_packed_prefill_attention
+
+
+def make_packed_case(lens, T, nq=8, nkv=4, hd=64, seed=0, dtype=jnp.float32):
+    keys = jax.random.split(jax.random.key(seed), 3)
+    q = jax.random.normal(keys[0], (T, nq, hd), dtype)
+    k = jax.random.normal(keys[1], (T, nkv, hd), dtype)
+    v = jax.random.normal(keys[2], (T, nkv, hd), dtype)
+    seg = np.full((T,), -1, np.int32)
+    pos = np.zeros((T,), np.int32)
+    t = 0
+    for i, L in enumerate(lens):
+        seg[t : t + L] = i
+        pos[t : t + L] = np.arange(L)
+        t += L
+    return q, k, v, jnp.asarray(seg), jnp.asarray(pos)
+
+
+class TestFlashPrefillKernel:
+    @pytest.mark.parametrize("lens,T", [([100, 80, 50], 256), ([256], 256), ([5, 3], 128)])
+    def test_matches_xla_reference(self, lens, T):
+        q, k, v, seg, pos = make_packed_case(lens, T)
+        scale = q.shape[-1] ** -0.5
+        ref = packed_prefill_attention(q, k, v, seg, pos, scale)
+        out = pallas_packed_prefill_attention(
+            q, k, v, seg, pos, scale, block_q=64, block_k=64, interpret=True
+        )
+        # compare only real (non-padding) tokens
+        real = np.asarray(seg) >= 0
+        np.testing.assert_allclose(
+            np.asarray(out)[real], np.asarray(ref)[real], rtol=2e-5, atol=2e-5
+        )
+
+    def test_gqa_heavy_grouping(self):
+        q, k, v, seg, pos = make_packed_case([120, 70], 256, nq=16, nkv=2, hd=32, seed=3)
+        scale = 0.17
+        ref = packed_prefill_attention(q, k, v, seg, pos, scale)
+        out = pallas_packed_prefill_attention(
+            q, k, v, seg, pos, scale, block_q=64, block_k=64, interpret=True
+        )
+        real = np.asarray(seg) >= 0
+        np.testing.assert_allclose(
+            np.asarray(out)[real], np.asarray(ref)[real], rtol=2e-5, atol=2e-5
+        )
+
+    def test_all_padding_finite(self):
+        q, k, v, seg, pos = make_packed_case([], 128, seed=4)
+        out = pallas_packed_prefill_attention(
+            q, k, v, seg, pos, 0.125, block_q=64, block_k=64, interpret=True
+        )
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_bf16(self):
+        q, k, v, seg, pos = make_packed_case([200, 56], 256, seed=5, dtype=jnp.bfloat16)
+        scale = q.shape[-1] ** -0.5
+        ref = packed_prefill_attention(q, k, v, seg, pos, scale)
+        out = pallas_packed_prefill_attention(
+            q, k, v, seg, pos, scale, interpret=True
+        )
+        real = np.asarray(seg) >= 0
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32)[real], np.asarray(ref, np.float32)[real],
+            rtol=3e-2, atol=3e-2,
+        )
