@@ -60,8 +60,6 @@ class JaxModelRunner:
             attn_impl = "pallas" if (engine_config.use_pallas_kernels and on_tpu) else "xla"
         self.attn_impl = attn_impl
 
-        cos, sin = qwen3.rope_tables(config)
-        self.cos, self.sin = cos, sin
         kv_dtype = jnp.dtype(engine_config.kv_cache_dtype)
         self.kv_cache = qwen3.init_kv_cache(
             config,
@@ -113,6 +111,10 @@ class JaxModelRunner:
         self,
         params,
         kv_cache,
+        key,  # rng key passed as arg (NOT a closure: closure constants get
+        #       embedded in the lowered HLO, which forces a device->host
+        #       fetch during *lowering* — and the first D2H of a process
+        #       stalls minutes on the tunneled chip; see utils/warmup)
         tok_i32,  # [T, 4]: token_ids, positions, seg_ids, slot_mapping
         seq_i32,  # [B, 2]: logits_indices, top_k
         seq_f32,  # [B, 2]: temperature, top_p
@@ -129,11 +131,11 @@ class JaxModelRunner:
             logits_indices=seq_i32[:, 0],
         )
         hidden, kv_cache = qwen3.forward(
-            params, kv_cache, batch, self.cos, self.sin,
+            params, kv_cache, batch,
             config=self.config, mode="prefill", attn_impl=self.attn_impl,
         )
         logits = qwen3.compute_logits(params, hidden)
-        rng = jax.random.fold_in(self._base_key, step)
+        rng = jax.random.fold_in(key, step)
         tokens = sample_tokens(
             rng, logits, seq_f32[:, 0], seq_i32[:, 1], seq_f32[:, 1],
             max_top_k=self.engine_config.max_top_k,
@@ -145,6 +147,7 @@ class JaxModelRunner:
         self,
         params,
         kv_cache,
+        key,  # rng key as arg, not closure (see _prefill_step)
         seq_i32,  # [B, 5 + W]: token, position, slot, seq_len, top_k, block_table...
         seq_f32,  # [B, 2]: temperature, top_p
         prev_tokens,  # [B] device tokens from the previous burst (chained mode)
@@ -173,7 +176,7 @@ class JaxModelRunner:
         top_k = seq_i32[:, 4]
         block_tables = seq_i32[:, 5:]
         active = start_len > 0
-        burst_rng = jax.random.fold_in(self._base_key, step)
+        burst_rng = jax.random.fold_in(key, step)
 
         def body(carry, i):
             kv_cache, tokens = carry
@@ -189,7 +192,7 @@ class JaxModelRunner:
                 seq_lens=seq_lens,
             )
             hidden, kv_cache = qwen3.forward(
-                params, kv_cache, batch, self.cos, self.sin,
+                params, kv_cache, batch,
                 config=self.config, mode="decode", attn_impl=self.attn_impl,
             )
             logits = qwen3.compute_logits(params, hidden)
@@ -302,7 +305,7 @@ class JaxModelRunner:
         row_sh = self._dp_sharding(row_sharded=True)
         tok_i32 = self._build_prefill_tokens(seqs, seq_i32)
         tokens, self.kv_cache = self._prefill_jit(
-            self.params, self.kv_cache,
+            self.params, self.kv_cache, self._base_key,
             jnp.asarray(tok_i32),
             jax.device_put(seq_i32, row_sh) if row_sh else jnp.asarray(seq_i32),
             jax.device_put(seq_f32, row_sh) if row_sh else jnp.asarray(seq_f32),
@@ -332,7 +335,7 @@ class JaxModelRunner:
         else:
             prev = jnp.zeros((self.max_num_seqs,), jnp.int32)
         tokens, self.kv_cache = self._decode_jit(
-            self.params, self.kv_cache,
+            self.params, self.kv_cache, self._base_key,
             jax.device_put(seq_i32, row_sh) if row_sh else jnp.asarray(seq_i32),
             jax.device_put(seq_f32, row_sh) if row_sh else jnp.asarray(seq_f32),
             prev, step, chained=chained, use_top_k=use_top_k, use_top_p=use_top_p,

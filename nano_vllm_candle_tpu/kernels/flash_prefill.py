@@ -31,8 +31,10 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _prefill_kernel(
-    seg_ref,  # [1, T] int32 (full array)
-    pos_ref,  # [1, T] int32
+    seg_q_ref,  # [1, 1, Bq] int32 (this q tile's segment ids)
+    pos_q_ref,  # [1, 1, Bq] int32
+    seg_k_ref,  # [1, 1, Bk] int32 (this k tile's)
+    pos_k_ref,  # [1, 1, Bk] int32
     q_ref,  # [1, Bq, hd]
     k_ref,  # [1, Bk, hd]
     v_ref,  # [1, Bk, hd]
@@ -65,10 +67,10 @@ def _prefill_kernel(
             preferred_element_type=jnp.float32,
         ) * scale  # [Bq, Bk]
 
-        seg_q = seg_ref[0, pl.ds(qt * block_q, block_q)]  # [Bq]
-        pos_q = pos_ref[0, pl.ds(qt * block_q, block_q)]
-        seg_k = seg_ref[0, pl.ds(kt * block_k, block_k)]  # [Bk]
-        pos_k = pos_ref[0, pl.ds(kt * block_k, block_k)]
+        seg_q = seg_q_ref[0, 0]  # [Bq]
+        pos_q = pos_q_ref[0, 0]
+        seg_k = seg_k_ref[0, 0]  # [Bk]
+        pos_k = pos_k_ref[0, 0]
         mask = (
             (seg_q[:, None] == seg_k[None, :])
             & (pos_k[None, :] <= pos_q[:, None])
@@ -139,8 +141,14 @@ def pallas_packed_prefill_attention(
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, T), lambda h, qt, kt: (0, 0)),  # seg
-                pl.BlockSpec((1, T), lambda h, qt, kt: (0, 0)),  # pos
+                # seg/pos delivered per-tile via BlockSpec (arrays reshaped
+                # [n_tiles, 1, block]): dynamic in-kernel lane slices of a
+                # full [1, T] row need starts statically divisible by 128,
+                # which small tiles can't prove.
+                pl.BlockSpec((1, 1, block_q), lambda h, qt, kt: (qt, 0, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda h, qt, kt: (qt, 0, 0)),
+                pl.BlockSpec((1, 1, block_k), lambda h, qt, kt: (kt, 0, 0)),
+                pl.BlockSpec((1, 1, block_k), lambda h, qt, kt: (kt, 0, 0)),
                 pl.BlockSpec((1, block_q, hd), lambda h, qt, kt: (h, qt, 0)),
                 pl.BlockSpec(
                     (1, block_k, hd), lambda h, qt, kt, g=g: (h // g, kt, 0)
@@ -164,8 +172,10 @@ def pallas_packed_prefill_attention(
         ),
         interpret=interpret,
     )(
-        seg_ids.reshape(1, T),
-        positions.reshape(1, T),
+        seg_ids.reshape(T // block_q, 1, block_q),
+        positions.reshape(T // block_q, 1, block_q),
+        seg_ids.reshape(T // block_k, 1, block_k),
+        positions.reshape(T // block_k, 1, block_k),
         qh,
         kh,
         vh,

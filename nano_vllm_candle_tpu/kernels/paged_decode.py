@@ -30,6 +30,7 @@ f32 statistics.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,22 +42,23 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _decode_kernel(
     # scalar prefetch
+    li_ref,  # [1] int32 layer index into the stacked cache
     seq_lens_ref,  # [B] int32
     block_tables_ref,  # [B, W] int32
     # blocks
     q_ref,  # [1, nkv, g, hd]
-    k_ref,  # [nkv, 1, ps, hd]
-    v_ref,  # [nkv, 1, ps, hd]
-    o_ref,  # [1, nkv, g, hd]
-    # scratch
-    m_ref,  # [nq, 128] f32
-    l_ref,  # [nq, 128] f32
-    acc_ref,  # [nq, hd] f32
-    *,
+    k_ref,  # [1, 1, ps, nkv, hd]
+    v_ref,  # [1, 1, ps, nkv, hd]
+    *rest,  # [ks_ref, vs_ref,] o_ref, m/l/acc scratch
     scale: float,
     page_size: int,
     num_pages_per_seq: int,
+    quantized: bool,
 ):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     w = pl.program_id(1)
     seq_len = seq_lens_ref[b]
@@ -72,8 +74,16 @@ def _decode_kernel(
         _, nkv, g, hd = q_ref.shape
         nq = nkv * g
         q = q_ref[0].astype(jnp.float32)  # [nkv, g, hd]
-        k = k_ref[:, 0].astype(jnp.float32)  # [nkv, ps, hd]
-        v = v_ref[:, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)  # [ps, nkv, hd]
+        v = v_ref[0, 0].astype(jnp.float32)
+        if quantized:
+            k = k * ks_ref[0, 0][..., None]  # [ps, nkv] f32 scales
+            v = v * vs_ref[0, 0][..., None]
+        # [nkv, ps, hd]: Mosaic's batched matmul needs batch dims in equal
+        # positions; this 32 KB VMEM transpose is far cheaper than storing
+        # the cache head-major (which costs full-cache relayouts per step).
+        k = jnp.swapaxes(k, 0, 1)
+        v = jnp.swapaxes(v, 0, 1)
 
         # scores[nkv, g, ps]
         s = jax.lax.dot_general(
@@ -118,38 +128,75 @@ def _decode_kernel(
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def pallas_paged_decode_attention(
     q: jax.Array,  # [B, nq, hd]
-    k_cache: jax.Array,  # [nkv, P, ps, hd]
-    v_cache: jax.Array,  # [nkv, P, ps, hd]
+    k_cache: jax.Array,  # [L, P, ps, nkv, hd] (or [P, ps, nkv, hd], layer 0)
+    v_cache: jax.Array,
     block_tables: jax.Array,  # [B, W] int32
     seq_lens: jax.Array,  # [B] int32
     scale: float,
     *,
+    k_scale: Optional[jax.Array] = None,  # [L, P, ps, nkv] f32 (int8 KV)
+    v_scale: Optional[jax.Array] = None,
+    layer_index: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
+    """Decode attention against one layer of the full stacked paged cache.
+
+    Taking the stacked ``[L, ...]`` cache + a runtime ``layer_index`` (rather
+    than a pre-sliced layer) lets the surrounding ``lax.scan`` keep the cache
+    in its carry with zero slicing traffic — the layer choice happens inside
+    the BlockSpec index map, so only the block-table-addressed pages of layer
+    ``layer_index`` are ever DMA'd.
+
+    INT8 caches pass ``k_scale``/``v_scale``; dequantization happens in VMEM
+    right after the page DMA, so the HBM read is genuinely half-width.
+    """
     B, nq, hd = q.shape
-    nkv, P, ps, _ = k_cache.shape
+    quantized = k_scale is not None
+    if k_cache.ndim == 4:  # single-layer convenience form (tests)
+        k_cache = k_cache[None]
+        v_cache = v_cache[None]
+        if quantized:
+            k_scale = k_scale[None]
+            v_scale = v_scale[None]
+        layer_index = jnp.zeros((), jnp.int32)
+    L, P, ps, nkv, _ = k_cache.shape
     g = nq // nkv
     W = block_tables.shape[1]
     qg = q.reshape(B, nkv, g, hd)
+    li = jnp.asarray(layer_index, jnp.int32).reshape(1)
 
-    def q_index_map(b, w, seq_lens_ref, block_tables_ref):
+    def q_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref):
         return (b, 0, 0, 0)
 
-    def kv_index_map(b, w, seq_lens_ref, block_tables_ref):
+    def kv_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref):
         # Clamp past-the-end pages to the last valid page: the repeated block
         # index makes the Pallas pipeline skip the redundant DMA.
         last = jnp.maximum(pl.cdiv(seq_lens_ref[b], ps) - 1, 0)
         w_eff = jnp.minimum(w, last)
-        return (0, block_tables_ref[b, w_eff], 0, 0)
+        return (li_ref[0], block_tables_ref[b, w_eff], 0, 0, 0)
+
+    def scale_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref):
+        last = jnp.maximum(pl.cdiv(seq_lens_ref[b], ps) - 1, 0)
+        w_eff = jnp.minimum(w, last)
+        return (li_ref[0], block_tables_ref[b, w_eff], 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, nkv, g, hd), q_index_map),
+        pl.BlockSpec((1, 1, ps, nkv, hd), kv_index_map),
+        pl.BlockSpec((1, 1, ps, nkv, hd), kv_index_map),
+    ]
+    operands = [qg, k_cache, v_cache]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, ps, nkv), scale_index_map),
+            pl.BlockSpec((1, 1, ps, nkv), scale_index_map),
+        ]
+        operands += [k_scale, v_scale]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, W),
-        in_specs=[
-            pl.BlockSpec((1, nkv, g, hd), q_index_map),
-            pl.BlockSpec((nkv, 1, ps, hd), kv_index_map),
-            pl.BlockSpec((nkv, 1, ps, hd), kv_index_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, nkv, g, hd), q_index_map),
         scratch_shapes=[
             pltpu.VMEM((nq, 128), jnp.float32),  # m
@@ -158,15 +205,17 @@ def pallas_paged_decode_attention(
         ],
     )
     kernel = functools.partial(
-        _decode_kernel, scale=scale, page_size=ps, num_pages_per_seq=W
+        _decode_kernel, scale=scale, page_size=ps, num_pages_per_seq=W,
+        quantized=quantized,
     )
+    out_dtype = q.dtype
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, nkv, g, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, nkv, g, hd), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(seq_lens, block_tables, qg, k_cache, v_cache)
+    )(li, seq_lens, block_tables, *operands)
     return out.reshape(B, nq, hd)

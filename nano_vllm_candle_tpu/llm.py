@@ -36,8 +36,10 @@ class LLM:
         mesh: Optional[jax.sharding.Mesh] = None,
     ) -> None:
         from nano_vllm_candle_tpu.utils.jax_cache import enable_compilation_cache
+        from nano_vllm_candle_tpu.utils.warmup import warm_transfer_async
 
         enable_compilation_cache()
+        warm_transfer_async()
         if engine_config is None:
             engine_config = EngineConfig()
         if model_dir is not None:

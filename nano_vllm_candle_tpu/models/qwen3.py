@@ -8,8 +8,8 @@ KV-cached, jit-compiled TPU engine needs (SURVEY.md §7):
   the decoder runs as one ``lax.scan`` — one traced layer body instead of the
   reference's unrolled per-layer loop (``qwen3.rs:480-493``), giving O(1)
   compile cost in depth and clean pjit sharding.
-- The paged KV cache ``[L, num_kv_heads, num_pages, page_size, head_dim]``
-  is threaded through the scan and updated in place (donated), replacing the
+- The paged KV cache ``[L, num_pages, page_size, num_kv_heads, head_dim]``
+  rides in the scan carry and is updated in place (donated), replacing the
   reference's full-recompute-every-step design (``llm_engine.rs:60-95``).
 - RoPE uses a precomputed table indexed by explicit per-token positions
   (``ops/rotary.py``), replacing per-call host cos/sin builds
@@ -41,7 +41,7 @@ from nano_vllm_candle_tpu.ops.attention import (
 )
 from nano_vllm_candle_tpu.layers.linear import matmul
 from nano_vllm_candle_tpu.ops.layernorm import head_rms_norm, rms_norm
-from nano_vllm_candle_tpu.ops.rotary import apply_rope, build_rope_table
+from nano_vllm_candle_tpu.ops.rotary import apply_rope_positions, build_rope_table
 
 Params = Dict[str, Any]
 
@@ -69,11 +69,18 @@ class DecodeBatch(NamedTuple):
 class KVCache(NamedTuple):
     """Paged KV cache; optionally INT8-quantized with per-vector scales.
 
-    ``k``/``v``: ``[L, num_kv_heads, num_pages, page_size, head_dim]``
+    ``k``/``v``: ``[L, num_pages, page_size, num_kv_heads, head_dim]``
     (bf16/f32, or int8 when quantized). ``k_scale``/``v_scale``:
-    ``[L, num_kv_heads, num_pages, page_size]`` f32 per-stored-vector
+    ``[L, num_pages, page_size, num_kv_heads]`` f32 per-stored-vector
     scales, or None for unquantized caches. INT8 KV halves the HBM
     bandwidth per decoded token — the dominant cost at long context.
+
+    Axis order is deliberate: a token's ``[nkv, hd]`` rows are contiguous,
+    so (a) the per-layer scatter writes whole contiguous rows and (b) the
+    row-major default layout XLA assigns for the scatter is *also* the
+    layout the Pallas kernels require — no per-step relayout copies (the
+    ``[L, nkv, P, ps, hd]`` order profiled at 4 full-cache layout
+    conversions per layer per decode step).
     """
 
     k: jax.Array
@@ -94,9 +101,9 @@ def init_kv_cache(
 ) -> KVCache:
     shape = (
         config.num_hidden_layers,
-        config.num_key_value_heads,
         num_pages,
         page_size,
+        config.num_key_value_heads,
         config.head_dim,
     )
     if jnp.dtype(dtype) == jnp.int8:
@@ -163,8 +170,8 @@ def rope_tables(config: Qwen3Config) -> Tuple[jax.Array, jax.Array]:
 
 
 def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Per-vector symmetric int8: x[T, nkv, hd] -> (int8 values, f32 scales
-    [T, nkv]) with true scale (dequant = q * scale)."""
+    """Per-vector symmetric int8: ``x[T, nkv, hd] -> (int8 values, f32
+    scales [T, nkv])`` with true scale (dequant = q * scale)."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
@@ -173,40 +180,47 @@ def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _write_kv(
-    k_cache_l: jax.Array,
-    v_cache_l: jax.Array,
-    kcs_l: Optional[jax.Array],
-    vcs_l: Optional[jax.Array],
-    k: jax.Array,
+    kk: jax.Array,  # [L, P, ps, nkv, hd] full stacked cache
+    vv: jax.Array,
+    kcs: Optional[jax.Array],  # [L, P, ps, nkv] or None
+    vcs: Optional[jax.Array],
+    k: jax.Array,  # [T, nkv, hd] new rows
     v: jax.Array,
-    slot_mapping: jax.Array,
+    slot_mapping: jax.Array,  # [T] flat slots (page*page_size + offset)
+    li: jax.Array,  # scalar layer index
 ):
-    """Scatter new k/v rows into this layer's paged cache.
+    """Scatter new k/v rows into layer ``li`` of the full paged cache,
+    **in place on the scan carry**.
 
-    k/v: ``[T, nkv, hd]``; slot_mapping: ``[T]`` flat slots. Padding tokens
-    carry slots inside the null page 0, so the scatter is unconditional.
-    For int8 caches, values are quantized per vector and scales scattered
-    alongside.
+    The cache never leaves the carry: one scatter writes the ``T``
+    contiguous ``[nkv, hd]`` rows and nothing else moves. (An earlier design
+    threaded per-layer caches through ``lax.scan`` xs/ys, which made XLA
+    re-materialize the entire cache every step — profiled at ~1 GB of HBM
+    traffic per decode step for ~100 KB of actual KV data.)
+
+    Padding tokens carry slots inside the null page 0, so the scatter is
+    unconditional. For int8 caches, values are quantized per vector and
+    scales scattered alongside.
     """
-    nkv, P, ps, hd = k_cache_l.shape
-    if kcs_l is not None:
+    L, P, ps, nkv, hd = kk.shape
+    if kcs is not None:
         k, k_scale = _quantize_kv(k)
         v, v_scale = _quantize_kv(v)
-        kcs = kcs_l.reshape(nkv, P * ps)
-        vcs = vcs_l.reshape(nkv, P * ps)
-        kcs = kcs.at[:, slot_mapping].set(k_scale.T, mode="drop")
-        vcs = vcs.at[:, slot_mapping].set(v_scale.T, mode="drop")
-        kcs_l = kcs.reshape(nkv, P, ps)
-        vcs_l = vcs.reshape(nkv, P, ps)
-    k_flat = k_cache_l.reshape(nkv, P * ps, hd)
-    v_flat = v_cache_l.reshape(nkv, P * ps, hd)
-    k_flat = k_flat.at[:, slot_mapping, :].set(k.transpose(1, 0, 2), mode="drop")
-    v_flat = v_flat.at[:, slot_mapping, :].set(v.transpose(1, 0, 2), mode="drop")
+        kcs_flat = kcs.reshape(L, P * ps, nkv)
+        vcs_flat = vcs.reshape(L, P * ps, nkv)
+        kcs_flat = kcs_flat.at[li, slot_mapping].set(k_scale, mode="drop")
+        vcs_flat = vcs_flat.at[li, slot_mapping].set(v_scale, mode="drop")
+        kcs = kcs_flat.reshape(L, P, ps, nkv)
+        vcs = vcs_flat.reshape(L, P, ps, nkv)
+    k_flat = kk.reshape(L, P * ps, nkv, hd)
+    v_flat = vv.reshape(L, P * ps, nkv, hd)
+    k_flat = k_flat.at[li, slot_mapping].set(k, mode="drop")
+    v_flat = v_flat.at[li, slot_mapping].set(v, mode="drop")
     return (
-        k_flat.reshape(nkv, P, ps, hd),
-        v_flat.reshape(nkv, P, ps, hd),
-        kcs_l,
-        vcs_l,
+        k_flat.reshape(L, P, ps, nkv, hd),
+        v_flat.reshape(L, P, ps, nkv, hd),
+        kcs,
+        vcs,
     )
 
 
@@ -214,13 +228,12 @@ def _decoder_layer(
     hidden: jax.Array,
     residual: jax.Array,
     lp: Params,
-    k_cache_l: jax.Array,
-    v_cache_l: jax.Array,
-    kcs_l: Optional[jax.Array],
-    vcs_l: Optional[jax.Array],
+    li: jax.Array,  # scalar layer index into the stacked cache
+    kk: jax.Array,  # [L, nkv, P, ps, hd] full stacked cache (carry)
+    vv: jax.Array,
+    kcs: Optional[jax.Array],
+    vcs: Optional[jax.Array],
     batch,
-    cos: jax.Array,
-    sin: jax.Array,
     config: Qwen3Config,
     mode: str,
     attn_impl: str,
@@ -241,10 +254,10 @@ def _decoder_layer(
     # Per-head RMSNorm before RoPE (qwen3.rs:224-232)
     q = head_rms_norm(q, lp["q_norm"], c.rms_norm_eps)
     k = head_rms_norm(k, lp["k_norm"], c.rms_norm_eps)
-    q, k = apply_rope(q, k, batch.positions, cos, sin)
+    q, k = apply_rope_positions(q, k, batch.positions, c.rope_theta)
 
-    k_cache_l, v_cache_l, kcs_l, vcs_l = _write_kv(
-        k_cache_l, v_cache_l, kcs_l, vcs_l, k, v, batch.slot_mapping
+    kk, vv, kcs, vcs = _write_kv(
+        kk, vv, kcs, vcs, k, v, batch.slot_mapping, li
     )
 
     if mode == "prefill":
@@ -260,17 +273,31 @@ def _decoder_layer(
             attn_out = packed_prefill_attention(
                 q, k, v, batch.seg_ids, batch.positions, scale
             )
-    elif attn_impl == "pallas" and kcs_l is None:
+    elif attn_impl == "pallas":
         from nano_vllm_candle_tpu.kernels.paged_decode import (
             pallas_paged_decode_attention,
         )
 
         attn_out = pallas_paged_decode_attention(
-            q, k_cache_l, v_cache_l, batch.block_tables, batch.seq_lens, scale
+            q, kk, vv, batch.block_tables, batch.seq_lens, scale,
+            k_scale=kcs, v_scale=vcs, layer_index=li,
         )
     else:
+        # XLA fallback (CPU tests): slice this layer's cache out of the
+        # stack. Costs a per-layer dynamic-slice — acceptable off the TPU
+        # fast path.
+        k_l = jax.lax.dynamic_index_in_dim(kk, li, 0, keepdims=False)
+        v_l = jax.lax.dynamic_index_in_dim(vv, li, 0, keepdims=False)
+        kcs_l = (
+            jax.lax.dynamic_index_in_dim(kcs, li, 0, keepdims=False)
+            if kcs is not None else None
+        )
+        vcs_l = (
+            jax.lax.dynamic_index_in_dim(vcs, li, 0, keepdims=False)
+            if vcs is not None else None
+        )
         attn_out = paged_decode_attention(
-            q, k_cache_l, v_cache_l, batch.block_tables, batch.seq_lens, scale,
+            q, k_l, v_l, batch.block_tables, batch.seq_lens, scale,
             k_scale=kcs_l, v_scale=vcs_l,
         )
 
@@ -283,15 +310,13 @@ def _decoder_layer(
     gate = matmul(normed, lp["gate_proj"])
     up = matmul(normed, lp["up_proj"])
     hidden = matmul(jax.nn.silu(gate) * up, lp["down_proj"])
-    return hidden, residual, k_cache_l, v_cache_l, kcs_l, vcs_l
+    return hidden, residual, kk, vv, kcs, vcs
 
 
 def forward(
     params: Params,
     kv_cache: KVCache,
     batch,
-    cos: jax.Array,
-    sin: jax.Array,
     *,
     config: Qwen3Config,
     mode: str,  # "prefill" | "decode"
@@ -302,23 +327,29 @@ def forward(
     ``last_hidden`` is ``[B, H]``: only the rows that will be sampled
     (prefill gathers each sequence's final token; decode keeps all slots) —
     fixing the reference's all-positions logits waste (``qwen3.rs:542-550``).
+
+    The full stacked KV cache rides in the scan *carry* (updated in place by
+    one scatter per layer; attention kernels index ``cache[layer]`` via
+    their BlockSpec index maps) — never through xs/ys, which would make XLA
+    re-materialize the whole cache every step.
     """
     c = config
+    L = c.num_hidden_layers
     hidden = params["embed_tokens"][batch.token_ids]  # [T, H]
     residual = jnp.zeros_like(hidden)
 
     def layer_fn(carry, xs):
-        h, r = carry
-        lp, kc, vc, kcs, vcs = xs
-        h, r, kc, vc, kcs, vcs = _decoder_layer(
-            h, r, lp, kc, vc, kcs, vcs, batch, cos, sin, c, mode, attn_impl
+        h, r, kk, vv, kcs, vcs = carry
+        lp, li = xs
+        h, r, kk, vv, kcs, vcs = _decoder_layer(
+            h, r, lp, li, kk, vv, kcs, vcs, batch, c, mode, attn_impl
         )
-        return (h, r), (kc, vc, kcs, vcs)
+        return (h, r, kk, vv, kcs, vcs), None
 
-    (hidden, residual), (new_k, new_v, new_kcs, new_vcs) = jax.lax.scan(
+    (hidden, residual, new_k, new_v, new_kcs, new_vcs), _ = jax.lax.scan(
         layer_fn,
-        (hidden, residual),
-        (params["layers"], kv_cache.k, kv_cache.v, kv_cache.k_scale, kv_cache.v_scale),
+        (hidden, residual, kv_cache.k, kv_cache.v, kv_cache.k_scale, kv_cache.v_scale),
+        (params["layers"], jnp.arange(L, dtype=jnp.int32)),
     )
 
     hidden, _ = rms_norm(hidden, params["norm"], c.rms_norm_eps, residual)
@@ -356,7 +387,6 @@ def forward_full(
     baseline for the cached path.
     """
     T = token_ids.shape[0]
-    cos, sin = rope_tables(config)
     page_size = max(8, T)
     num_pages = 2  # page 0 = null, page 1 = this sequence
     kv = init_kv_cache(config, num_pages, page_size, params["embed_tokens"].dtype)
@@ -367,5 +397,5 @@ def forward_full(
         slot_mapping=page_size + jnp.arange(T, dtype=jnp.int32),
         logits_indices=jnp.arange(T, dtype=jnp.int32),  # all positions
     )
-    hidden, _ = forward(params, kv, batch, cos, sin, config=config, mode="prefill")
+    hidden, _ = forward(params, kv, batch, config=config, mode="prefill")
     return compute_logits(params, hidden)

@@ -8,9 +8,10 @@ its GQA expand (``qwen3.rs:236-256``) with mask computation on device and a
 grouped-einsum GQA that never materializes repeated K/V.
 
 Shapes follow the paged-KV layout
-``[num_kv_heads, num_pages, page_size, head_dim]`` (the TPU paged-attention
-convention), with per-sequence block tables exactly like the reference's
-``Sequence::block_table`` contract (``/root/reference/src/engine/sequence.rs:18``).
+``[num_pages, page_size, num_kv_heads, head_dim]`` (token rows contiguous —
+see ``models/qwen3.KVCache``), with per-sequence block tables exactly like
+the reference's ``Sequence::block_table`` contract
+(``/root/reference/src/engine/sequence.rs:18``).
 """
 
 from __future__ import annotations
@@ -83,36 +84,36 @@ def paged_decode_attention(
 
     Args:
       q: ``[B, num_q_heads, head_dim]`` — the new token's query per slot.
-      k_cache/v_cache: ``[num_kv_heads, num_pages, page_size, head_dim]``.
+      k_cache/v_cache: ``[num_pages, page_size, num_kv_heads, head_dim]``.
       block_tables: ``[B, max_blocks_per_seq]`` int32 physical page ids
         (entries past the sequence's pages may be arbitrary valid ids).
       seq_lens: ``[B]`` int32 — tokens in context *including* the new token
         (whose k/v must already be written to the cache).
       scale: softmax scale.
-      k_scale/v_scale: ``[num_kv_heads, num_pages, page_size]`` per-vector
+      k_scale/v_scale: ``[num_pages, page_size, num_kv_heads]`` per-vector
         dequant scales for INT8 caches (None = unquantized).
 
     Returns:
       ``[B, num_q_heads, head_dim]``.
     """
     B, nq, hd = q.shape
-    nkv, _, page_size, _ = k_cache.shape
+    _, page_size, nkv, _ = k_cache.shape
     g = nq // nkv
     W = block_tables.shape[1]
 
-    # Gather each sequence's pages: [nkv, B, W, page_size, hd] -> [nkv, B, S, hd]
-    k = jnp.take(k_cache, block_tables, axis=1).reshape(nkv, B, W * page_size, hd)
-    v = jnp.take(v_cache, block_tables, axis=1).reshape(nkv, B, W * page_size, hd)
+    # Gather each sequence's pages: [B, W, page_size, nkv, hd] -> [B, S, nkv, hd]
+    k = jnp.take(k_cache, block_tables, axis=0).reshape(B, W * page_size, nkv, hd)
+    v = jnp.take(v_cache, block_tables, axis=0).reshape(B, W * page_size, nkv, hd)
     if k_scale is not None:
-        ks = jnp.take(k_scale, block_tables, axis=1).reshape(nkv, B, W * page_size, 1)
-        vs = jnp.take(v_scale, block_tables, axis=1).reshape(nkv, B, W * page_size, 1)
+        ks = jnp.take(k_scale, block_tables, axis=0).reshape(B, W * page_size, nkv, 1)
+        vs = jnp.take(v_scale, block_tables, axis=0).reshape(B, W * page_size, nkv, 1)
         compute_dtype = q.dtype if q.dtype != jnp.int8 else jnp.bfloat16
         k = (k.astype(jnp.float32) * ks).astype(compute_dtype)
         v = (v.astype(jnp.float32) * vs).astype(compute_dtype)
 
     qg = q.reshape(B, nkv, g, hd)
     scores = jnp.einsum(
-        "bkgd,kbsd->bkgs", qg, k, preferred_element_type=jnp.float32
+        "bkgd,bskd->bkgs", qg, k, preferred_element_type=jnp.float32
     ) * scale
 
     token_idx = jnp.arange(W * page_size, dtype=jnp.int32)
@@ -120,5 +121,8 @@ def paged_decode_attention(
     scores = jnp.where(mask[:, None, None, :], scores, MASK_VALUE)
 
     weights = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bkgs,kbsd->bkgd", weights.astype(v.dtype), v)
-    return out.reshape(B, nq, hd)
+    out = jnp.einsum("bkgs,bskd->bkgd", weights.astype(v.dtype), v)
+    # q.dtype, not v.dtype: the KV cache may be wider/narrower than the
+    # activations (e.g. f32 cache under bf16 weights) and the layer-scan
+    # carry requires a stable hidden dtype.
+    return out.reshape(B, nq, hd).astype(q.dtype)

@@ -38,6 +38,46 @@ def build_rope_table(
     return jnp.cos(freqs), jnp.sin(freqs)
 
 
+def rope_cos_sin(
+    positions: jax.Array,
+    head_dim: int,
+    theta: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Compute ``(cos, sin)`` of shape ``[T, head_dim//2]`` directly from
+    positions, on device.
+
+    Cheaper than a precomputed table on TPU: XLA lowers a gather from a
+    ``[max_pos, half]`` table into full-table dynamic slices (profiled at
+    ~21 MB of HBM traffic *per decode step*), while computing the few
+    ``T x half`` transcendentals on the VPU is effectively free.
+    """
+    half = head_dim // 2
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) * 2.0 / head_dim))
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope_positions(
+    q: jax.Array,
+    k: jax.Array,
+    positions: jax.Array,
+    theta: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Rotate q ``[T, nq, hd]`` / k ``[T, nkv, hd]`` by per-token positions,
+    computing cos/sin on the fly (see :func:`rope_cos_sin`)."""
+    cos, sin = rope_cos_sin(positions, q.shape[-1], theta)
+    cos = cos[:, None, :]
+    sin = sin[:, None, :]
+
+    def rotate(x: jax.Array) -> jax.Array:
+        x32 = x.astype(jnp.float32)
+        x1, x2 = jnp.split(x32, 2, axis=-1)
+        out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+        return out.astype(x.dtype)
+
+    return rotate(q), rotate(k)
+
+
 def apply_rope(
     q: jax.Array,
     k: jax.Array,

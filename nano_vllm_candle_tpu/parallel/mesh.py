@@ -96,9 +96,9 @@ def qwen3_param_pspecs(config: Qwen3Config, params: Any) -> Any:
 
 
 def kv_cache_pspec(ndim: int = 5) -> P:
-    """[L, num_kv_heads, pages, page_size(, head_dim)] — shard kv_heads on
-    tp; rank 4 covers the int8 per-vector scale arrays."""
-    return P(None, "tp", *([None] * (ndim - 2)))
+    """``[L, pages, page_size, num_kv_heads(, head_dim)]`` — shard kv_heads
+    (axis 3) on tp; rank 4 covers the int8 per-vector scale arrays."""
+    return P(None, None, None, "tp", *([None] * (ndim - 4)))
 
 
 def shard_params(params: Any, mesh: Mesh, config: Qwen3Config) -> Any:

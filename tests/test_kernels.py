@@ -12,8 +12,8 @@ from nano_vllm_candle_tpu.kernels.paged_decode import pallas_paged_decode_attent
 def make_case(B=4, nq=8, nkv=4, hd=128, ps=16, P=12, W=6, seed=0, dtype=jnp.float32):
     keys = jax.random.split(jax.random.key(seed), 3)
     q = jax.random.normal(keys[0], (B, nq, hd), dtype)
-    k_cache = jax.random.normal(keys[1], (nkv, P, ps, hd), dtype)
-    v_cache = jax.random.normal(keys[2], (nkv, P, ps, hd), dtype)
+    k_cache = jax.random.normal(keys[1], (P, ps, nkv, hd), dtype)
+    v_cache = jax.random.normal(keys[2], (P, ps, nkv, hd), dtype)
     rng = np.random.default_rng(seed)
     # distinct valid pages per sequence (page 0 = null)
     block_tables = np.zeros((B, W), np.int32)
@@ -61,6 +61,23 @@ class TestPagedDecodeKernel:
         ref = paged_decode_attention(q, k, v, bt, sl, scale)
         out = pallas_paged_decode_attention(q, k, v, bt, sl, scale, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_int8_kv_matches_xla_reference(self):
+        q, k, v, bt, sl = make_case(seed=7)
+        ps_shape = k.shape[:3]  # [P, ps, nkv]
+        keys = jax.random.split(jax.random.key(11), 2)
+        kq = jnp.clip(jnp.round(k * 20), -127, 127).astype(jnp.int8)
+        vq = jnp.clip(jnp.round(v * 20), -127, 127).astype(jnp.int8)
+        ks = jax.random.uniform(keys[0], ps_shape, jnp.float32, 0.01, 0.1)
+        vs = jax.random.uniform(keys[1], ps_shape, jnp.float32, 0.01, 0.1)
+        scale = q.shape[-1] ** -0.5
+        ref = paged_decode_attention(q, kq, vq, bt, sl, scale, k_scale=ks, v_scale=vs)
+        out = pallas_paged_decode_attention(
+            q, kq, vq, bt, sl, scale, k_scale=ks, v_scale=vs, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
 
     def test_bf16_inputs(self):
         q, k, v, bt, sl = make_case(seed=6, dtype=jnp.bfloat16)
