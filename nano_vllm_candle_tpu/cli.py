@@ -38,6 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-model-len", type=int, default=4096)
     p.add_argument("--kv-blocks", type=int, default=1024)
     p.add_argument("--block-size", type=int, default=16)
+    p.add_argument("--quantization", choices=["int8", "int4"],
+                   help="weight-only quantization (on-the-fly at load)")
+    p.add_argument("--kv-cache-dtype", default=None, choices=["bfloat16", "int8"],
+                   help="paged KV cache dtype (int8 halves KV bandwidth)")
+    p.add_argument("--profile", metavar="DIR",
+                   help="write a jax.profiler trace of generation to DIR "
+                        "(view with xprof/tensorboard)")
     return p
 
 
@@ -79,6 +86,8 @@ def main(argv=None) -> int:
         kvcache_block_size=args.block_size,
         max_model_len=args.max_model_len,
         tp_size=args.tp,
+        quantization=args.quantization,
+        kv_cache_dtype=args.kv_cache_dtype or "bfloat16",
     )
     mesh = make_mesh(tp=args.tp) if args.tp > 1 else None
 
@@ -101,7 +110,12 @@ def main(argv=None) -> int:
         top_p=args.top_p,
     )
     t0 = time.perf_counter()
-    outputs = llm.generate([token_ids], sp)
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            outputs = llm.generate([token_ids], sp)
+        logger.info("profiler trace written to %s", args.profile)
+    else:
+        outputs = llm.generate([token_ids], sp)
     elapsed = time.perf_counter() - t0
 
     completion = outputs[0].token_ids
@@ -113,6 +127,7 @@ def main(argv=None) -> int:
         f"Throughput: {len(completion) / elapsed:.2f}tok/s",
         file=sys.stderr,
     )
+    logger.debug("engine metrics: %s", llm.engine.metrics)
     return 0
 
 

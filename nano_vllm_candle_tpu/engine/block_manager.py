@@ -98,6 +98,17 @@ class BlockManager:
     def can_extend(self, seq: Sequence, n_tokens: int) -> bool:
         return self.num_free_blocks >= self._blocks_needed(seq, n_tokens)
 
+    def can_extend_batch(self, seqs: List[Sequence], n_tokens: int) -> bool:
+        """Whether ALL of ``seqs`` can extend by ``n_tokens`` together.
+
+        Per-sequence ``can_extend`` checks are not composable — each extend
+        consumes shared free blocks, so seq A passing its check can starve
+        seq B mid-batch. The aggregate need must be checked up front.
+        """
+        return self.num_free_blocks >= sum(
+            self._blocks_needed(s, n_tokens) for s in seqs
+        )
+
     # -- allocation ----------------------------------------------------------
 
     def _take_free_block(self) -> Block:

@@ -80,6 +80,8 @@ class LLMEngine:
             "prefill_tokens": 0,
             "decode_tokens": 0,
             "preemptions": 0,
+            "prefix_cached_tokens": 0,  # prompt tokens skipped via prefix hits
+            "kv_blocks_in_use": 0,      # gauge (excludes the null page)
         }
 
     def add_request(
@@ -115,9 +117,14 @@ class LLMEngine:
         self.metrics["steps"] += 1
         if is_prefill:
             self.metrics["prefill_tokens"] += num_tokens
+            self.metrics["prefix_cached_tokens"] += sum(
+                s.num_cached_tokens for s in seqs
+            )
         else:
             self.metrics["decode_tokens"] += accepted
         self.metrics["preemptions"] = self.scheduler.num_preemptions
+        bm = self.scheduler.block_manager
+        self.metrics["kv_blocks_in_use"] = bm.num_blocks - 1 - bm.num_free_blocks
         return StepOutput(outputs=outputs, is_prefill=is_prefill, num_tokens=num_tokens)
 
     def is_finished(self) -> bool:
@@ -176,7 +183,7 @@ class LLMEngine:
             can_chain = (
                 bool(active)
                 and not self.scheduler.waiting
-                and all(bm.can_extend(seq, 2 * K) for seq in active)
+                and bm.can_extend_batch(active, 2 * K)
                 and any(
                     seq.max_tokens - seq.num_completion_tokens > K for seq in active
                 )
@@ -203,6 +210,11 @@ class LLMEngine:
             self.metrics["prefill_tokens"] += sum(
                 len(s) - 1 - s.num_cached_tokens for s in seqs
             )
+            self.metrics["prefix_cached_tokens"] += sum(
+                s.num_cached_tokens for s in seqs
+            )
         else:
             self.metrics["decode_tokens"] += accepted
         self.metrics["preemptions"] = self.scheduler.num_preemptions
+        bm = self.scheduler.block_manager
+        self.metrics["kv_blocks_in_use"] = bm.num_blocks - 1 - bm.num_free_blocks

@@ -134,6 +134,16 @@ class NativeBlockManager:
             self._lib.bm_can_extend(self._h, seq.seq_id, len(seq.token_ids), n_tokens)
         )
 
+    def can_extend_batch(self, seqs: List[Sequence], n_tokens: int) -> bool:
+        """Aggregate-need check (see BlockManager.can_extend_batch): the
+        per-seq need is host-computable from the mirrored block table."""
+        bs = self.block_size
+        need = 0
+        for seq in seqs:
+            blocks = -(-(len(seq.token_ids) - 1 + n_tokens) // bs)
+            need += max(0, blocks - len(seq.block_table))
+        return self.num_free_blocks >= need
+
     def may_append(self, seq: Sequence) -> None:
         self.extend(seq, 1)
 

@@ -1,0 +1,150 @@
+"""Pallas TPU fused dequant+matmul kernel for INT8/INT4 weight-only linears.
+
+SURVEY.md §7 hard part #2: the reference has no quantization at all (F32
+everywhere, ``/root/reference/src/models/qwen3.rs:515-523``); BASELINE.json's
+north star is INT4/INT8 weight-only decode at speed-of-light. Decode-time
+linears are HBM-bandwidth-bound — the win is reading 1/4- or 1/2-width
+weights and dequantizing *after* the HBM→VMEM DMA, inside the kernel.
+
+Computes ``x[T, d_in] @ W`` where ``W`` is sub-channel quantized
+(``layers/linear.py:quantize_weight``): ``q[G, gs, out]`` int8 (or planar
+nibble-packed ``q4[G, gs/2, out]`` uint8) with per-(group, out-channel)
+scales ``s[G, 1, out]``.
+
+Shape strategy — everything follows from keeping the weight stream
+CONTIGUOUS (v5e HBM DMAs hit peak only on long unbroken runs):
+
+- grid = ``(G,)``, one step per contraction group. The step's weight block
+  ``q[g]`` = ``[gs, out]`` is a contiguous 1.5-6 MB slab (leading-axis
+  slice), double-buffered by the Pallas pipeline. Two earlier revisions
+  tiled the minor ``out`` axis — every DMA row broke into 512 B strided
+  runs and the kernel capped at ~230 GB/s, 3x below XLA's grouped-dot.
+- The f32 accumulator ``[T, out]`` lives in VMEM scratch across steps:
+  ``acc += (x[:, g·gs:(g+1)·gs] @ w_int.astype(bf16)) * s[g]`` — the MXU
+  runs on the int values cast in VMEM, and the group scale rides the f32
+  partial sums (bit-identical semantics to the XLA twin, no bf16 dequant
+  rounding).
+- ``T`` is capped at MAX_T (decode batches): prefill quant matmuls are
+  MXU-bound, which XLA's grouped-dot path already handles at peak.
+
+INT4 blocks unpack with two static sublane slices (planar nibble layout,
+``_pack_nibbles``) widened to int32 first: Mosaic cannot legalize int8
+vector subtraction on packed narrow layouts.
+
+The XLA twin is ``layers/linear.py:matmul``; tests validate both ways
+(tests/test_kernels.py) and ``matmul(impl="pallas")`` dispatches here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_T = 256  # larger T (prefill buckets) routes to the XLA path
+
+
+def _kernel(li_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, packed4: bool):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]  # [T, gs]
+    if packed4:
+        # Widen before the -8 offset: Mosaic cannot legalize int8 vector
+        # subtraction on packed narrow layouts (arith.subi on i8).
+        p = q_ref[0, 0].astype(jnp.int32)  # [gs/2, out], planar nibbles
+        w = jnp.concatenate(
+            [(p & 0xF) - 8, (p >> 4) - 8], axis=0
+        ).astype(x.dtype)
+    else:
+        w = q_ref[0, 0].astype(x.dtype)  # [gs, out], cast in VMEM
+    acc_ref[...] += (
+        jnp.dot(x, w, preferred_element_type=jnp.float32) * s_ref[0, 0]
+    )
+
+    @pl.when(g == n_groups - 1)
+    def _emit():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def supported(qw: Dict[str, jax.Array], T: int) -> bool:
+    """Whether this kernel can run the given quantized weight and batch.
+
+    Accepts the per-layer form (``q.ndim == 3``) and the stacked form
+    (``q.ndim == 4`` with a leading layer axis, indexed by ``layer_index``).
+    """
+    q = qw.get("q4", qw.get("q"))
+    return (
+        q is not None and q.ndim in (3, 4) and q.shape[-1] % 128 == 0
+        and T <= MAX_T
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_quant_matmul(
+    x: jax.Array,  # [T, d_in]
+    qw: Dict[str, jax.Array],  # {"q"|"q4": [(L,)G,gs,out], "s": [(L,)G,1,out]}
+    layer_index: jax.Array | None = None,  # required for stacked (4-dim) qw
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """``x @ dequant(qw)`` with the dequant fused into the weight stream.
+
+    The stacked form takes the FULL ``[L, ...]`` weight stack plus a runtime
+    ``layer_index`` resolved inside the BlockSpec index map (same pattern as
+    ``paged_decode`` with the stacked KV cache): inside a ``lax.scan`` over
+    layers, passing a sliced operand to a pallas call makes XLA materialize
+    the slice as a full HBM copy first — profiled at 154 us/layer of pure
+    copy against the kernel's 35 us — while BlockSpec-level indexing DMAs
+    straight from the stack.
+    """
+    packed4 = "q4" in qw
+    q = qw["q4"] if packed4 else qw["q"]
+    s = qw["s"]
+    if q.ndim == 3:  # single-layer convenience form
+        q = q[None]
+        s = s[None]
+        layer_index = jnp.zeros((), jnp.int32)
+    assert layer_index is not None, "stacked quantized weights need layer_index"
+    L, G, rows, out = q.shape
+    gs = rows * 2 if packed4 else rows
+    T, d_in = x.shape
+    assert d_in == G * gs, f"x in-dim {d_in} != G*gs {G * gs}"
+    li = jnp.asarray(layer_index, jnp.int32).reshape(1)
+
+    flops = 2 * T * d_in * out
+    bytes_accessed = (
+        x.size * x.dtype.itemsize + q.size // L + s.size // L * 4
+        + T * out * x.dtype.itemsize
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((T, gs), lambda g, li_ref: (0, g)),
+            pl.BlockSpec((1, 1, rows, out), lambda g, li_ref: (li_ref[0], g, 0, 0)),
+            pl.BlockSpec((1, 1, 1, out), lambda g, li_ref: (li_ref[0], g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((T, out), lambda g, li_ref: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((T, out), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, n_groups=G, packed4=packed4),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, out), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(li, x, q, s)

@@ -27,7 +27,7 @@ fuses this shape well; a hand-tuned Pallas twin lives in
 
 from __future__ import annotations
 
-from typing import Any, Dict, Union
+from typing import Any, Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -53,41 +53,63 @@ def is_quantized(w: WeightLike) -> bool:
 
 
 def _pack_nibbles(q: jax.Array) -> jax.Array:
-    """int values in [-8, 7], shape [..., gs, out] -> uint8 [..., gs/2, out]."""
+    """int values in [-8, 7], shape [..., gs, out] -> uint8 [..., gs/2, out].
+
+    **Planar** packing: the low nibble holds group element ``i``, the high
+    nibble element ``i + gs/2`` (the group's second half), NOT adjacent
+    elements. This keeps each nibble plane a contiguous sublane run, so the
+    Pallas dequant-matmul kernel (``kernels/quant_matmul.py``) splits the
+    activation block with two static slices and never pays a sublane
+    interleave/relayout.
+    """
     n = (q + 8).astype(jnp.uint8)  # [1, 15] (0 unused: qmax 7 -> min -7+8=1)
     *lead, gs, out = n.shape
-    pairs = n.reshape(*lead, gs // 2, 2, out)
-    return (pairs[..., 0, :] | (pairs[..., 1, :] << 4)).astype(jnp.uint8)
+    low = n[..., : gs // 2, :]
+    high = n[..., gs // 2 :, :]
+    return (low | (high << 4)).astype(jnp.uint8)
 
 
 def _unpack_nibbles(p: jax.Array) -> jax.Array:
     """uint8 [..., gs/2, out] -> int8 [..., gs, out] (inverse of pack)."""
     low = (p & 0xF).astype(jnp.int8) - 8
     high = (p >> 4).astype(jnp.int8) - 8
-    stacked = jnp.stack([low, high], axis=-2)  # [..., gs/2, 2, out]
-    *lead, half, _, out = stacked.shape
-    return stacked.reshape(*lead, half * 2, out)
+    return jnp.concatenate([low, high], axis=-2)
 
 
 def quantize_weight(
     w: jax.Array, bits: str = "int8", group_size: int = 128
 ) -> Dict[str, jax.Array]:
     """Symmetric sub-channel quantization of ``w[..., in, out]`` along the
-    input dim. Leading axes (e.g. the stacked-layer axis) are preserved."""
+    input dim. Leading axes (e.g. the stacked-layer axis) are preserved.
+
+    Stacked weights quantize one leading slice at a time (``lax.map``):
+    quantizing holds ~3x the slice in f32 temporaries, and doing the whole
+    stack at once OOMs a 16 GB chip on 4B+ MLP stacks.
+    """
     *lead, d_in, d_out = w.shape
     group_size = min(group_size, d_in)
     if d_in % group_size != 0:
         raise ValueError(f"in dim {d_in} not divisible by group_size {group_size}")
     G = d_in // group_size
-    wf = w.astype(jnp.float32).reshape(*lead, G, group_size, d_out)
-    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # [..., G, 1, out]
     qmax = 127.0 if bits == "int8" else 7.0
-    scale = jnp.where(amax > 0, amax / qmax, 1.0)
-    q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
-    s = scale.astype(jnp.float32)
-    if bits == "int4":
-        return QuantizedWeight(_pack_nibbles(q), s, packed4=True)
-    return QuantizedWeight(q, s)
+
+    def quant_2d(w2):
+        wf = w2.astype(jnp.float32).reshape(G, group_size, d_out)
+        amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # [G, 1, out]
+        scale = jnp.where(amax > 0, amax / qmax, 1.0)
+        q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
+        if bits == "int4":
+            q = _pack_nibbles(q)
+        return q, scale.astype(jnp.float32)
+
+    if lead:
+        flat = w.reshape(-1, d_in, d_out)
+        q, s = jax.lax.map(quant_2d, flat)
+        q = q.reshape(*lead, *q.shape[1:])
+        s = s.reshape(*lead, G, 1, d_out)
+    else:
+        q, s = quant_2d(w)
+    return QuantizedWeight(q, s, packed4=(bits == "int4"))
 
 
 def _int_values(w: Dict[str, jax.Array]) -> jax.Array:
@@ -100,17 +122,40 @@ def dequantize_weight(qw: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array
     return (q.astype(jnp.float32) * s).reshape(*lead, G * gs, out).astype(dtype)
 
 
-def matmul(x: jax.Array, w: WeightLike) -> jax.Array:
+def matmul(
+    x: jax.Array,
+    w: WeightLike,
+    impl: str = "xla",
+    layer_index: Optional[jax.Array] = None,
+) -> jax.Array:
     """``x[T, in] @ w`` for plain or quantized weights.
 
     Quantized path: per-group integer matmuls with the scale applied on the
     group partial sums — dequant never materializes the full bf16 weight.
     The int->compute dtype conversion (and int4 unpack) happens in VMEM,
     after the shrunken HBM read.
+
+    ``impl="pallas"`` routes quantized weights through the hand-tuned fused
+    dequant-matmul kernel (``kernels/quant_matmul.py``) on supported shapes;
+    plain weights always use XLA (a dense bf16 matmul is already optimal).
+
+    Quantized weights may be the FULL layer stack (leading ``L`` axis) with
+    ``layer_index`` selecting the layer — mandatory for the pallas path
+    inside ``lax.scan`` (a pre-sliced pallas operand costs a full-weight HBM
+    copy; the kernel indexes the stack in its BlockSpec instead).
     """
     if not is_quantized(w):
         return x @ w
-    q, s = _int_values(w), w["s"]  # [G, gs, out], [G, 1, out]
+    if impl == "pallas":
+        from nano_vllm_candle_tpu.kernels import quant_matmul
+
+        if quant_matmul.supported(w, x.shape[0]):
+            return quant_matmul.pallas_quant_matmul(x, w, layer_index)
+    q, s = _int_values(w), w["s"]  # [(L,) G, gs, out], [(L,) G, 1, out]
+    if q.ndim == 4:  # stacked: slice this layer (XLA fuses it into the dot)
+        assert layer_index is not None, "stacked quantized weights need layer_index"
+        q = jax.lax.dynamic_index_in_dim(q, layer_index, 0, keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(s, layer_index, 0, keepdims=False)
     G, gs, out = q.shape
     T = x.shape[0]
     xg = x.reshape(T, G, gs)

@@ -227,7 +227,8 @@ def _write_kv(
 def _decoder_layer(
     hidden: jax.Array,
     residual: jax.Array,
-    lp: Params,
+    lp: Params,  # per-layer plain weights (sliced by the scan)
+    qlp: Params,  # FULL-stack quantized weights (indexed by li; see forward)
     li: jax.Array,  # scalar layer index into the stacked cache
     kk: jax.Array,  # [L, nkv, P, ps, hd] full stacked cache (carry)
     vv: jax.Array,
@@ -244,12 +245,18 @@ def _decoder_layer(
     T = hidden.shape[0]
     scale = c.head_dim**-0.5
 
+    def proj(name: str):
+        return lp[name] if name in lp else qlp[name]
+
     normed, residual = rms_norm(hidden, lp["input_layernorm"], c.rms_norm_eps, residual)
 
-    # QKV projections (column-parallel under TP; plain or int-quantized)
-    q = matmul(normed, lp["q_proj"]).reshape(T, c.num_attention_heads, c.head_dim)
-    k = matmul(normed, lp["k_proj"]).reshape(T, c.num_key_value_heads, c.head_dim)
-    v = matmul(normed, lp["v_proj"]).reshape(T, c.num_key_value_heads, c.head_dim)
+    # QKV projections (column-parallel under TP; plain or int-quantized);
+    # attn_impl doubles as the matmul impl switch: "pallas" routes quantized
+    # weights through the fused dequant-matmul kernel (kernels/quant_matmul.py)
+    mm = attn_impl
+    q = matmul(normed, proj("q_proj"), mm, li).reshape(T, c.num_attention_heads, c.head_dim)
+    k = matmul(normed, proj("k_proj"), mm, li).reshape(T, c.num_key_value_heads, c.head_dim)
+    v = matmul(normed, proj("v_proj"), mm, li).reshape(T, c.num_key_value_heads, c.head_dim)
 
     # Per-head RMSNorm before RoPE (qwen3.rs:224-232)
     q = head_rms_norm(q, lp["q_norm"], c.rms_norm_eps)
@@ -302,14 +309,14 @@ def _decoder_layer(
         )
 
     # Row-parallel o_proj (all-reduce inserted by GSPMD under TP)
-    hidden = matmul(attn_out.reshape(T, c.q_size), lp["o_proj"])
+    hidden = matmul(attn_out.reshape(T, c.q_size), proj("o_proj"), mm, li)
 
     normed, residual = rms_norm(
         hidden, lp["post_attention_layernorm"], c.rms_norm_eps, residual
     )
-    gate = matmul(normed, lp["gate_proj"])
-    up = matmul(normed, lp["up_proj"])
-    hidden = matmul(jax.nn.silu(gate) * up, lp["down_proj"])
+    gate = matmul(normed, proj("gate_proj"), mm, li)
+    up = matmul(normed, proj("up_proj"), mm, li)
+    hidden = matmul(jax.nn.silu(gate) * up, proj("down_proj"), mm, li)
     return hidden, residual, kk, vv, kcs, vcs
 
 
@@ -338,18 +345,27 @@ def forward(
     hidden = params["embed_tokens"][batch.token_ids]  # [T, H]
     residual = jnp.zeros_like(hidden)
 
+    # Quantized projections stay OUT of the scan xs (full stacks captured by
+    # closure, indexed per layer): scan-slicing them would hand pre-sliced
+    # operands to the pallas dequant-matmul, which XLA materializes as a
+    # full-weight HBM copy per layer (kernels/quant_matmul.py).
+    from nano_vllm_candle_tpu.layers.linear import is_quantized
+
+    xs_layers = {k: v for k, v in params["layers"].items() if not is_quantized(v)}
+    quant_layers = {k: v for k, v in params["layers"].items() if is_quantized(v)}
+
     def layer_fn(carry, xs):
         h, r, kk, vv, kcs, vcs = carry
         lp, li = xs
         h, r, kk, vv, kcs, vcs = _decoder_layer(
-            h, r, lp, li, kk, vv, kcs, vcs, batch, c, mode, attn_impl
+            h, r, lp, quant_layers, li, kk, vv, kcs, vcs, batch, c, mode, attn_impl
         )
         return (h, r, kk, vv, kcs, vcs), None
 
     (hidden, residual, new_k, new_v, new_kcs, new_vcs), _ = jax.lax.scan(
         layer_fn,
         (hidden, residual, kv_cache.k, kv_cache.v, kv_cache.k_scale, kv_cache.v_scale),
-        (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+        (xs_layers, jnp.arange(L, dtype=jnp.int32)),
     )
 
     hidden, _ = rms_norm(hidden, params["norm"], c.rms_norm_eps, residual)

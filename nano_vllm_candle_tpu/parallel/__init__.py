@@ -15,6 +15,10 @@ from nano_vllm_candle_tpu.parallel.mesh import (
     shard_params,
     shard_kv_cache,
 )
+from nano_vllm_candle_tpu.parallel.distributed import (
+    initialize,
+    make_hybrid_mesh,
+)
 
 __all__ = [
     "make_mesh",
@@ -22,4 +26,6 @@ __all__ = [
     "kv_cache_pspec",
     "shard_params",
     "shard_kv_cache",
+    "initialize",
+    "make_hybrid_mesh",
 ]

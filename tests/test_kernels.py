@@ -155,3 +155,97 @@ class TestFlashPrefillKernel:
             np.asarray(out, np.float32)[real], np.asarray(ref, np.float32)[real],
             rtol=3e-2, atol=3e-2,
         )
+
+
+# --------------------------------------------------------------------------
+# Fused dequant+matmul kernel (kernels/quant_matmul.py)
+# --------------------------------------------------------------------------
+
+from nano_vllm_candle_tpu.kernels.quant_matmul import (  # noqa: E402
+    pallas_quant_matmul,
+    supported,
+)
+from nano_vllm_candle_tpu.layers.linear import (  # noqa: E402
+    matmul as xla_matmul,
+    quantize_weight,
+)
+
+
+class TestQuantMatmulKernel:
+    @pytest.mark.parametrize("bits", ["int8", "int4"])
+    @pytest.mark.parametrize("T", [8, 64])
+    def test_matches_xla_reference(self, bits, T):
+        keys = jax.random.split(jax.random.key(0), 2)
+        d_in, out = 256, 384
+        x = jax.random.normal(keys[0], (T, d_in), jnp.float32)
+        w = jax.random.normal(keys[1], (d_in, out), jnp.float32) * 0.05
+        qw = quantize_weight(w, bits, group_size=128)
+        assert supported(qw, T)
+        ref = xla_matmul(x, qw)
+        got = pallas_quant_matmul(x, qw, interpret=True)
+        # kernel dequantizes weights into x.dtype before the dot (the XLA
+        # twin scales f32 partials) -- f32 x here makes them bit-comparable
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_single_group(self):
+        """d_in == group_size: exactly one reduction step."""
+        keys = jax.random.split(jax.random.key(1), 2)
+        x = jax.random.normal(keys[0], (16, 128), jnp.float32)
+        w = jax.random.normal(keys[1], (128, 256), jnp.float32)
+        qw = quantize_weight(w, "int8", group_size=128)
+        got = pallas_quant_matmul(x, qw, interpret=True)
+        ref = xla_matmul(x, qw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_unsupported_shape_falls_back(self):
+        """Out dim not tileable to 128 -> supported() False; matmul(impl=
+        "pallas") must still produce correct results via the XLA path."""
+        keys = jax.random.split(jax.random.key(2), 2)
+        x = jax.random.normal(keys[0], (8, 128), jnp.float32)
+        w = jax.random.normal(keys[1], (128, 96), jnp.float32)
+        qw = quantize_weight(w, "int8", group_size=128)
+        assert not supported(qw, 8)
+        got = xla_matmul(x, qw, impl="pallas")
+        ref = xla_matmul(x, qw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
+    def test_large_T_not_supported(self):
+        """Prefill-sized T routes to the XLA path (kernel keeps x VMEM-
+        resident, sized for decode batches only)."""
+        w = jnp.ones((128, 256), jnp.float32)
+        qw = quantize_weight(w, "int8", group_size=128)
+        assert supported(qw, 256)
+        assert not supported(qw, 1024)
+
+    def test_accuracy_vs_dense(self):
+        """Quantized matmul approximates the dense product (sanity that the
+        kernel multiplies scales correctly, not just matches its twin)."""
+        keys = jax.random.split(jax.random.key(3), 2)
+        x = jax.random.normal(keys[0], (32, 256), jnp.float32)
+        w = jax.random.normal(keys[1], (256, 128), jnp.float32) * 0.02
+        qw = quantize_weight(w, "int8", group_size=128)
+        got = pallas_quant_matmul(x, qw, interpret=True)
+        dense = x @ w
+        err = np.abs(np.asarray(got) - np.asarray(dense)).mean()
+        scale = np.abs(np.asarray(dense)).mean()
+        assert err < 0.02 * scale + 1e-3
+
+    @pytest.mark.parametrize("bits", ["int8", "int4"])
+    def test_stacked_layer_index(self, bits):
+        """Stacked [L, ...] weights + runtime layer_index must match slicing
+        the stack by hand (the scan-over-layers fast path)."""
+        keys = jax.random.split(jax.random.key(5), 2)
+        L, T, d_in, out = 3, 8, 256, 128
+        x = jax.random.normal(keys[0], (T, d_in), jnp.float32)
+        w = jax.random.normal(keys[1], (L, d_in, out), jnp.float32) * 0.05
+        qw = quantize_weight(w, bits, group_size=128)
+        assert supported(qw, T)
+        for li in range(L):
+            sliced = {k: v[li] for k, v in qw.items()}
+            ref = xla_matmul(x, sliced)
+            got = pallas_quant_matmul(
+                x, qw, jnp.int32(li), interpret=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+            )

@@ -94,3 +94,26 @@ def test_sharded_generation_matches_single_device(tiny_params, tp, dp):
     baseline = run_generate(tiny_params, mesh=None)
     sharded = run_generate(tiny_params, mesh=make_mesh(tp=tp, dp=dp))
     assert sharded == baseline, f"tp={tp} dp={dp} diverged from single-device"
+
+
+class TestDistributed:
+    """Multi-host scaffolding on the single-process virtual mesh."""
+
+    def test_initialize_single_process_noop(self):
+        from nano_vllm_candle_tpu.parallel.distributed import initialize
+
+        initialize()  # must not raise or try to reach a coordinator
+        assert jax.process_count() == 1
+
+    def test_make_hybrid_mesh_local(self):
+        from nano_vllm_candle_tpu.parallel.distributed import make_hybrid_mesh
+
+        mesh = make_hybrid_mesh(tp=4, dp=2)
+        assert mesh.shape == {"dp": 2, "tp": 4}
+        assert mesh.axis_names == ("dp", "tp")
+
+    def test_make_hybrid_mesh_too_few_devices(self):
+        from nano_vllm_candle_tpu.parallel.distributed import make_hybrid_mesh
+
+        with pytest.raises(ValueError):
+            make_hybrid_mesh(tp=8, dp=4)
