@@ -52,6 +52,9 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--prompt-len", type=int, default=128)
     parser.add_argument("--decode-steps", type=int, default=128)
+    parser.add_argument("--block-size", type=int, default=64,
+                        help="KV page size in tokens (bigger pages = bigger "
+                             "attention DMAs; 64 measured best on v5e)")
     parser.add_argument("--tiny", action="store_true", help="tiny model on CPU (smoke)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
@@ -80,7 +83,7 @@ def main() -> None:
     B = args.batch
     prompt_len = args.prompt_len if args.model != "tiny" else 16
     decode_steps = args.decode_steps if args.model != "tiny" else 16
-    block_size = 16
+    block_size = args.block_size if args.model != "tiny" else 16
     max_len = prompt_len + decode_steps + block_size
     blocks_per_seq = -(-max_len // block_size)
     num_blocks = 1 + B * blocks_per_seq

@@ -37,7 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-num-seqs", type=int, default=8)
     p.add_argument("--max-model-len", type=int, default=4096)
     p.add_argument("--kv-blocks", type=int, default=1024)
-    p.add_argument("--block-size", type=int, default=16)
+    p.add_argument("--block-size", type=int, default=64)
     p.add_argument("--quantization", choices=["int8", "int4"],
                    help="weight-only quantization (on-the-fly at load)")
     p.add_argument("--kv-cache-dtype", default=None, choices=["bfloat16", "int8"],

@@ -156,7 +156,10 @@ class EngineConfig:
     (``scheduler.rs:19-29``: defaults max_num_seqs=1 there; we default to a
     batch-friendly 8) and the KV-cache fields mirror ``BlockManagerConfig``
     (``block_manager.rs:9-15``; their block_size default of 256 is tuned down
-    to 128 = one TPU lane-tile of tokens per page).
+    to 64 — the measured v5e sweet spot between paged-attention DMA size
+    (bigger pages stream faster) and partial-page overread on short
+    sequences: 16/32/64/128 tokens/page benched 1383/1580/1672/1589 tok/s
+    on Qwen3-0.6B bs8 decode).
     """
 
     # scheduling
@@ -164,7 +167,7 @@ class EngineConfig:
     max_num_batched_tokens: int = 4096
     # paged KV cache
     num_kvcache_blocks: int = 512
-    kvcache_block_size: int = 128
+    kvcache_block_size: int = 64
     max_blocks_per_seq: Optional[int] = None  # default: max_model_len / block_size
     enable_prefix_caching: bool = True
     native_block_manager: bool = True  # C++ allocator (csrc/), Python fallback
