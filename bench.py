@@ -55,6 +55,10 @@ def main() -> None:
     parser.add_argument("--block-size", type=int, default=64,
                         help="KV page size in tokens (bigger pages = bigger "
                              "attention DMAs; 64 measured best on v5e)")
+    parser.add_argument("--quantization", choices=["int8", "int4"],
+                        help="weight-only quantization (BASELINE configs 2-4)")
+    parser.add_argument("--kv-cache-dtype", default=None,
+                        choices=["bfloat16", "int8"])
     parser.add_argument("--tiny", action="store_true", help="tiny model on CPU (smoke)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
@@ -89,6 +93,7 @@ def main() -> None:
     num_blocks = 1 + B * blocks_per_seq
 
     dtype = "bfloat16" if args.model != "tiny" else "float32"
+    kv_dtype = args.kv_cache_dtype or dtype
     eng = EngineConfig(
         max_num_seqs=B,
         max_num_batched_tokens=max(4096, B * prompt_len),
@@ -96,7 +101,8 @@ def main() -> None:
         kvcache_block_size=block_size,
         max_model_len=max_len,
         dtype=dtype,
-        kv_cache_dtype=dtype,
+        kv_cache_dtype=kv_dtype,
+        quantization=args.quantization,
         enable_prefix_caching=False,  # distinct prompts; keep bench honest
         use_pallas_kernels=True,
     )
@@ -116,11 +122,10 @@ def main() -> None:
     assert out.is_prefill
     prefill_compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    llm.step()  # decode (compiles)
+    # finish warmup generation on the pipelined path (compiles both the
+    # chained and unchained decode variants)
+    llm.engine.run_until_done()
     decode_compile_s = time.perf_counter() - t0
-    # finish warmup generation
-    while not llm.is_finished():
-        llm.step()
     print(
         f"# compile: prefill {prefill_compile_s:.1f}s decode {decode_compile_s:.1f}s",
         file=sys.stderr,
@@ -134,30 +139,34 @@ def main() -> None:
     ttft_s = time.perf_counter() - t_prefill0
     assert out.is_prefill
 
-    n_decode = 0
+    # decode runs the 2-deep pipelined driver (the serving path `generate`
+    # uses): burst t+1 is dispatched before burst t's tokens are fetched, so
+    # the tunnel round trip never stalls the chip.
+    decode_before = llm.engine.metrics["decode_tokens"]
     t0 = time.perf_counter()
-    while not llm.is_finished():
-        out = llm.step()
-        if not out.is_prefill:
-            n_decode += -out.num_tokens
+    llm.engine.run_until_done()
     decode_s = time.perf_counter() - t0
+    n_decode = llm.engine.metrics["decode_tokens"] - decode_before
     tok_s = n_decode / decode_s
 
     # --- speed-of-light estimate ---------------------------------------------
     pbytes = param_bytes(llm.model_runner.params)
     # per decode step: read all weights once + tied lm_head again for logits
     itemsize = jnp.dtype(dtype).itemsize
+    kv_itemsize = 1 if kv_dtype == "int8" else itemsize
     logit_bytes = cfg.vocab_size * cfg.hidden_size * itemsize
     kv_bytes_per_seq = (
         2 * cfg.num_hidden_layers * cfg.num_key_value_heads * cfg.head_dim
-        * (prompt_len + decode_steps // 2) * itemsize
+        * (prompt_len + decode_steps // 2) * kv_itemsize
     )
     step_bytes = pbytes + (logit_bytes if cfg.tie_word_embeddings else 0) + B * kv_bytes_per_seq
     bw = detect_bw(jax.devices()[0])
     sol_tok_s = B * bw / step_bytes
 
+    wtag = args.quantization or dtype
+    kvtag = "_kvint8" if kv_dtype == "int8" else ""
     result = {
-        "metric": f"decode_tok_s_qwen3_{args.model}_{dtype}_bs{B}_1chip",
+        "metric": f"decode_tok_s_qwen3_{args.model}_{wtag}{kvtag}_bs{B}_1chip",
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / sol_tok_s, 4),

@@ -27,9 +27,19 @@ from nano_vllm_candle_tpu.engine.llm_engine import (
     DummyModelRunner,
 )
 
+
+def __getattr__(name):  # lazy: LLM pulls in jax/models at import time
+    if name == "LLM":
+        from nano_vllm_candle_tpu.llm import LLM
+
+        return LLM
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __version__ = "0.1.0"
 
 __all__ = [
+    "LLM",
     "SamplingParams",
     "Qwen3Config",
     "EngineConfig",

@@ -157,6 +157,19 @@ class LLMEngine:
                 if seq.is_finished and seq.seq_id in want:
                     collected[seq.seq_id] = list(seq.completion_token_ids)
 
+        self.run_until_done(collect)
+        return [
+            GenerationOutput(seq_id=sid, token_ids=collected.get(sid, []))
+            for sid in seq_ids
+        ]
+
+    def run_until_done(self, collect=None) -> None:
+        """Drive schedule→forward→postprocess until every request finishes,
+        with decode as a 2-deep chained pipeline when the runner supports it
+        (burst t+1 dispatched from burst t's on-device tokens before t's
+        results are fetched — the host round trip never stalls the chip).
+        Callable from any engine state; ``bench.py`` uses it after timing the
+        prefill step separately."""
         pipelined = getattr(self.model_runner, "supports_chaining", False)
         pending = None  # (seqs, token_future)
         while not self.is_finished() or pending is not None:
@@ -168,7 +181,8 @@ class LLMEngine:
                     tokens = self.model_runner.run(seqs, is_prefill)
                     accepted = self.scheduler.post_process(seqs, tokens)
                     self._account(is_prefill, seqs, accepted)
-                    collect(seqs)
+                    if collect is not None:
+                        collect(seqs)
                     continue
                 pending = (seqs, self.model_runner.dispatch_decode(seqs, chained=False))
                 continue
@@ -196,13 +210,9 @@ class LLMEngine:
             tokens = self.model_runner.fetch_decode(fut)
             accepted = self.scheduler.post_process(seqs_p, tokens)
             self._account(False, seqs_p, accepted)
-            collect(seqs_p)
+            if collect is not None:
+                collect(seqs_p)
             pending = (seqs_p, fut2) if fut2 is not None else None
-
-        return [
-            GenerationOutput(seq_id=sid, token_ids=collected.get(sid, []))
-            for sid in seq_ids
-        ]
 
     def _account(self, is_prefill: bool, seqs, accepted: int) -> None:
         self.metrics["steps"] += 1

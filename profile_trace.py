@@ -1,0 +1,95 @@
+"""Capture a device trace of the bench decode loop and print per-op totals.
+
+Reuses the exact engine path (same jits as bench.py, so the persistent
+compilation cache applies) and aggregates XLA op time from the xplane.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import time
+
+
+def parse_xplane(xplane_path: str, top: int = 25) -> None:
+    from jax.profiler import ProfileData
+
+    data = ProfileData.from_file(xplane_path)
+    totals: dict[str, float] = {}
+    for plane in data.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        for line in plane.lines:
+            lname = line.name.lower()
+            if "step" in lname and "xla" not in lname:
+                continue
+            for ev in line.events:
+                name = ev.name
+                totals[name] = totals.get(name, 0.0) + ev.duration_ns / 1e6
+    items = sorted(totals.items(), key=lambda kv: -kv[1])
+    tot = sum(v for _, v in items)
+    print(f"# total device op time {tot:.2f} ms across {len(items)} op names")
+    for name, ms in items[:top]:
+        print(f"{ms:9.3f} ms  {100*ms/tot:5.1f}%  {name[:110]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=6, help="decode engine steps to trace")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--quantization", choices=["int8", "int4"])
+    ap.add_argument("--kv-cache-dtype", default=None)
+    ap.add_argument("--parse-only")
+    ap.add_argument("--outdir", default="/tmp/jax-trace")
+    args = ap.parse_args()
+    if args.parse_only:
+        parse_xplane(args.parse_only)
+        return
+
+    import jax
+    import numpy as np
+
+    from nano_vllm_candle_tpu.config import EngineConfig, Qwen3Config
+    from nano_vllm_candle_tpu.llm import LLM
+    from nano_vllm_candle_tpu.sampling_params import SamplingParams
+
+    cfg = Qwen3Config.qwen3_0_6b()
+    B, prompt_len, block_size = args.batch, 128, 64
+    decode_steps = 128
+    max_len = prompt_len + decode_steps + block_size
+    blocks_per_seq = -(-max_len // block_size)
+    eng = EngineConfig(
+        max_num_seqs=B,
+        max_num_batched_tokens=max(4096, B * prompt_len),
+        num_kvcache_blocks=1 + B * blocks_per_seq,
+        kvcache_block_size=block_size,
+        max_model_len=max_len,
+        dtype="bfloat16",
+        kv_cache_dtype=args.kv_cache_dtype or "bfloat16",
+        quantization=args.quantization,
+        enable_prefix_caching=False,
+        use_pallas_kernels=True,
+    )
+    llm = LLM(config=cfg, engine_config=eng)
+    rng = np.random.default_rng(0)
+    prompts = [list(map(int, rng.integers(10, cfg.vocab_size - 10, prompt_len)))
+               for _ in range(B)]
+    sp = SamplingParams(temperature=0.0, max_tokens=decode_steps, ignore_eos=True)
+    for p in prompts:
+        llm.add_request(p, sp)
+    llm.step()  # prefill (compile)
+    for _ in range(3):
+        llm.step()  # decode warm
+    t0 = time.perf_counter()
+    with jax.profiler.trace(args.outdir):
+        for _ in range(args.steps):
+            llm.step()
+    print(f"# traced {args.steps} engine steps in {time.perf_counter()-t0:.2f}s")
+    paths = sorted(glob.glob(args.outdir + "/**/*.xplane.pb", recursive=True))
+    print("# xplane:", paths[-1] if paths else "NONE")
+    if paths:
+        parse_xplane(paths[-1])
+
+
+if __name__ == "__main__":
+    main()
