@@ -52,9 +52,10 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--prompt-len", type=int, default=128)
     parser.add_argument("--decode-steps", type=int, default=128)
-    parser.add_argument("--block-size", type=int, default=64,
+    parser.add_argument("--block-size", type=int, default=128,
                         help="KV page size in tokens (bigger pages = bigger "
-                             "attention DMAs; 64 measured best on v5e)")
+                             "attention DMAs, fewer grid steps; 128 measured "
+                             "best on v5e with head-major pages)")
     parser.add_argument("--quantization", choices=["int8", "int4"],
                         help="weight-only quantization (BASELINE configs 2-4)")
     parser.add_argument("--kv-cache-dtype", default=None,

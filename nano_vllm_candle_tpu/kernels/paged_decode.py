@@ -16,6 +16,14 @@ Design notes:
   returns the last valid page again; Pallas skips re-fetching a block whose
   index didn't change, so short sequences in a long-grid batch cost no extra
   bandwidth, and compute is skipped with ``pl.when``.
+- **Head-major pages** (``[nkv, ps, hd]``, models/qwen3.KVCache): a fetched
+  page is directly the per-head matmul operand. The earlier token-major
+  layout needed two VMEM ``swapaxes`` per page (Mosaic's batched matmul
+  wants batch dims in equal operand positions), measured ~12% of the kernel.
+- **Native-dtype MXU**: q/k/v feed the MXU in their stored dtype (bf16 in
+  production) with f32 accumulation — ``preferred_element_type=f32``. An
+  earlier version upcast operands to f32 first, which forced the MXU's f32
+  path (several times fewer MACs/s) and cost ~30% end-to-end.
 - **GQA grouping**: q is ``[B, nkv, g, hd]``; scores are batched matmuls per
   KV head — K/V are never expanded (the reference had to emulate
   numpy.repeat semantics for this, ``/root/reference/src/models/
@@ -23,8 +31,9 @@ Design notes:
 
 Numerics follow the online-softmax recurrence; masking uses
 ``-0.7 * f32_max`` (never ``-inf``) and the final division guards l == 0
-(inactive padding slots), matching the XLA reference twin bit-for-bit at
-f32 statistics.
+(inactive padding slots), matching the XLA reference twin at f32
+statistics (p is cast to the cache dtype for the PV matmul, same as the
+twin's ``weights.astype(v.dtype)``).
 """
 
 from __future__ import annotations
@@ -47,8 +56,8 @@ def _decode_kernel(
     block_tables_ref,  # [B, W] int32
     # blocks
     q_ref,  # [1, nkv, g, hd]
-    k_ref,  # [1, 1, ps, nkv, hd]
-    v_ref,  # [1, 1, ps, nkv, hd]
+    k_ref,  # [1, 1, nkv, ps, hd]
+    v_ref,  # [1, 1, nkv, ps, hd]
     *rest,  # [ks_ref, vs_ref,] o_ref, m/l/acc scratch
     scale: float,
     page_size: int,
@@ -73,17 +82,15 @@ def _decode_kernel(
     def _compute():
         _, nkv, g, hd = q_ref.shape
         nq = nkv * g
-        q = q_ref[0].astype(jnp.float32)  # [nkv, g, hd]
-        k = k_ref[0, 0].astype(jnp.float32)  # [ps, nkv, hd]
-        v = v_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0]  # [nkv, g, hd] — native dtype into the MXU
+        k = k_ref[0, 0]  # [nkv, ps, hd]
+        v = v_ref[0, 0]
         if quantized:
-            k = k * ks_ref[0, 0][..., None]  # [ps, nkv] f32 scales
-            v = v * vs_ref[0, 0][..., None]
-        # [nkv, ps, hd]: Mosaic's batched matmul needs batch dims in equal
-        # positions; this 32 KB VMEM transpose is far cheaper than storing
-        # the cache head-major (which costs full-cache relayouts per step).
-        k = jnp.swapaxes(k, 0, 1)
-        v = jnp.swapaxes(v, 0, 1)
+            # Dequant in f32 (matches the XLA twin), then to the compute
+            # dtype the surrounding model uses.
+            cdt = q.dtype if q.dtype != jnp.int8 else jnp.bfloat16
+            k = (k.astype(jnp.float32) * ks_ref[0, 0][..., None]).astype(cdt)
+            v = (v.astype(jnp.float32) * vs_ref[0, 0][..., None]).astype(cdt)
 
         # scores[nkv, g, ps]
         s = jax.lax.dot_general(
@@ -103,14 +110,14 @@ def _decode_kernel(
         m_curr = jnp.max(s2, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s2 - m_next)  # [nq, ps]
+        p = jnp.exp(s2 - m_next)  # [nq, ps] f32
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
         m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
         l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
         pv = jax.lax.dot_general(
-            p.reshape(nkv, g, page_size), v,
+            p.reshape(nkv, g, page_size).astype(v.dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).reshape(nq, hd)
@@ -128,13 +135,13 @@ def _decode_kernel(
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def pallas_paged_decode_attention(
     q: jax.Array,  # [B, nq, hd]
-    k_cache: jax.Array,  # [L, P, ps, nkv, hd] (or [P, ps, nkv, hd], layer 0)
+    k_cache: jax.Array,  # [L, P, nkv, ps, hd] (or [P, nkv, ps, hd], layer 0)
     v_cache: jax.Array,
     block_tables: jax.Array,  # [B, W] int32
     seq_lens: jax.Array,  # [B] int32
     scale: float,
     *,
-    k_scale: Optional[jax.Array] = None,  # [L, P, ps, nkv] f32 (int8 KV)
+    k_scale: Optional[jax.Array] = None,  # [L, P, nkv, ps] f32 (int8 KV)
     v_scale: Optional[jax.Array] = None,
     layer_index: Optional[jax.Array] = None,
     interpret: bool = False,
@@ -159,7 +166,7 @@ def pallas_paged_decode_attention(
             k_scale = k_scale[None]
             v_scale = v_scale[None]
         layer_index = jnp.zeros((), jnp.int32)
-    L, P, ps, nkv, _ = k_cache.shape
+    L, P, nkv, ps, _ = k_cache.shape
     g = nq // nkv
     W = block_tables.shape[1]
     qg = q.reshape(B, nkv, g, hd)
@@ -182,14 +189,14 @@ def pallas_paged_decode_attention(
 
     in_specs = [
         pl.BlockSpec((1, nkv, g, hd), q_index_map),
-        pl.BlockSpec((1, 1, ps, nkv, hd), kv_index_map),
-        pl.BlockSpec((1, 1, ps, nkv, hd), kv_index_map),
+        pl.BlockSpec((1, 1, nkv, ps, hd), kv_index_map),
+        pl.BlockSpec((1, 1, nkv, ps, hd), kv_index_map),
     ]
     operands = [qg, k_cache, v_cache]
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, 1, ps, nkv), scale_index_map),
-            pl.BlockSpec((1, 1, ps, nkv), scale_index_map),
+            pl.BlockSpec((1, 1, nkv, ps), scale_index_map),
+            pl.BlockSpec((1, 1, nkv, ps), scale_index_map),
         ]
         operands += [k_scale, v_scale]
 

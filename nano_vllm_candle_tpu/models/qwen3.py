@@ -8,7 +8,7 @@ KV-cached, jit-compiled TPU engine needs (SURVEY.md §7):
   the decoder runs as one ``lax.scan`` — one traced layer body instead of the
   reference's unrolled per-layer loop (``qwen3.rs:480-493``), giving O(1)
   compile cost in depth and clean pjit sharding.
-- The paged KV cache ``[L, num_pages, page_size, num_kv_heads, head_dim]``
+- The paged KV cache ``[L, num_pages, num_kv_heads, page_size, head_dim]``
   rides in the scan carry and is updated in place (donated), replacing the
   reference's full-recompute-every-step design (``llm_engine.rs:60-95``).
 - RoPE uses a precomputed table indexed by explicit per-token positions
@@ -39,7 +39,7 @@ from nano_vllm_candle_tpu.ops.attention import (
     packed_prefill_attention,
     paged_decode_attention,
 )
-from nano_vllm_candle_tpu.layers.linear import matmul
+from nano_vllm_candle_tpu.layers.linear import TRANSPOSED_PROJS, matmul
 from nano_vllm_candle_tpu.ops.layernorm import head_rms_norm, rms_norm
 from nano_vllm_candle_tpu.ops.rotary import apply_rope_positions, build_rope_table
 
@@ -69,18 +69,21 @@ class DecodeBatch(NamedTuple):
 class KVCache(NamedTuple):
     """Paged KV cache; optionally INT8-quantized with per-vector scales.
 
-    ``k``/``v``: ``[L, num_pages, page_size, num_kv_heads, head_dim]``
+    ``k``/``v``: ``[L, num_pages, num_kv_heads, page_size, head_dim]``
     (bf16/f32, or int8 when quantized). ``k_scale``/``v_scale``:
-    ``[L, num_pages, page_size, num_kv_heads]`` f32 per-stored-vector
+    ``[L, num_pages, num_kv_heads, page_size]`` f32 per-stored-vector
     scales, or None for unquantized caches. INT8 KV halves the HBM
     bandwidth per decoded token — the dominant cost at long context.
 
-    Axis order is deliberate: a token's ``[nkv, hd]`` rows are contiguous,
-    so (a) the per-layer scatter writes whole contiguous rows and (b) the
-    row-major default layout XLA assigns for the scatter is *also* the
-    layout the Pallas kernels require — no per-step relayout copies (the
-    ``[L, nkv, P, ps, hd]`` order profiled at 4 full-cache layout
-    conversions per layer per decode step).
+    Axis order is deliberate: pages are **head-major** (``[nkv, ps, hd]``),
+    so a fetched page is directly the per-head ``[ps, hd]`` operand the
+    decode kernel's batched matmuls need — no in-kernel transpose (the
+    token-major ``[ps, nkv, hd]`` order cost two VMEM swapaxes per page per
+    layer, measured ~12% of the kernel; a fully head-major *cache*
+    ``[L, nkv, P, ps, hd]`` was worse still — XLA relayouts the whole cache
+    around the scatter). The write side scatters one ``[nkv, hd]`` plane per
+    token at stride ``ps·hd``, which XLA lowers to per-head row writes
+    without relayout.
     """
 
     k: jax.Array
@@ -102,8 +105,8 @@ def init_kv_cache(
     shape = (
         config.num_hidden_layers,
         num_pages,
-        page_size,
         config.num_key_value_heads,
+        page_size,
         config.head_dim,
     )
     if jnp.dtype(dtype) == jnp.int8:
@@ -136,20 +139,23 @@ def init_params(
     def dense(key, shape, fan_in):
         return (jax.random.normal(key, shape, jnp.float32) * (fan_in**-0.5)).astype(dtype)
 
+    # q/k/v/down are stored TRANSPOSED ([L, out, in]) — the measured-faster
+    # orientation on v5e (layers/linear.TRANSPOSED_PROJS); gate/up/o are
+    # [L, in, out].
     params: Params = {
         "embed_tokens": dense(next(keys), (c.vocab_size, H), H),
         "layers": {
             "input_layernorm": jnp.ones((L, H), dtype),
-            "q_proj": dense(next(keys), (L, H, Q), H),
-            "k_proj": dense(next(keys), (L, H, KV), H),
-            "v_proj": dense(next(keys), (L, H, KV), H),
+            "q_proj": dense(next(keys), (L, Q, H), H),
+            "k_proj": dense(next(keys), (L, KV, H), H),
+            "v_proj": dense(next(keys), (L, KV, H), H),
             "q_norm": jnp.ones((L, hd), dtype),
             "k_norm": jnp.ones((L, hd), dtype),
             "o_proj": dense(next(keys), (L, Q, H), Q),
             "post_attention_layernorm": jnp.ones((L, H), dtype),
             "gate_proj": dense(next(keys), (L, H, I), H),
             "up_proj": dense(next(keys), (L, H, I), H),
-            "down_proj": dense(next(keys), (L, I, H), I),
+            "down_proj": dense(next(keys), (L, H, I), I),
         },
         "norm": jnp.ones((H,), dtype),
     }
@@ -180,9 +186,9 @@ def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _write_kv(
-    kk: jax.Array,  # [L, P, ps, nkv, hd] full stacked cache
+    kk: jax.Array,  # [L, P, nkv, ps, hd] full stacked cache (head-major pages)
     vv: jax.Array,
-    kcs: Optional[jax.Array],  # [L, P, ps, nkv] or None
+    kcs: Optional[jax.Array],  # [L, P, nkv, ps] or None
     vcs: Optional[jax.Array],
     k: jax.Array,  # [T, nkv, hd] new rows
     v: jax.Array,
@@ -192,9 +198,9 @@ def _write_kv(
     """Scatter new k/v rows into layer ``li`` of the full paged cache,
     **in place on the scan carry**.
 
-    The cache never leaves the carry: one scatter writes the ``T``
-    contiguous ``[nkv, hd]`` rows and nothing else moves. (An earlier design
-    threaded per-layer caches through ``lax.scan`` xs/ys, which made XLA
+    The cache never leaves the carry: one scatter writes ``T`` per-token
+    ``[nkv, hd]`` planes and nothing else moves. (An earlier design threaded
+    per-layer caches through ``lax.scan`` xs/ys, which made XLA
     re-materialize the entire cache every step — profiled at ~1 GB of HBM
     traffic per decode step for ~100 KB of actual KV data.)
 
@@ -202,26 +208,23 @@ def _write_kv(
     unconditional. For int8 caches, values are quantized per vector and
     scales scattered alongside.
     """
-    L, P, ps, nkv, hd = kk.shape
+    L, P, nkv, ps, hd = kk.shape
+    pages = (slot_mapping // ps)[:, None]  # [T, 1]
+    offs = (slot_mapping % ps)[:, None]
+    heads = jnp.arange(nkv, dtype=jnp.int32)[None, :]  # [1, nkv]
+    # All advanced indices ([T,1] pages, [1,nkv] heads, [T,1] offs) are
+    # adjacent and broadcast to [T, nkv]; the scatter windows are contiguous
+    # [hd] rows, so XLA keeps the cache in its default (kernel-required)
+    # layout. (A separated-index form ``at[li, pages, :, offs]`` made XLA
+    # relayout the ENTIRE cache around the scatter — ~800 ms/step.)
     if kcs is not None:
-        k, k_scale = _quantize_kv(k)
+        k, k_scale = _quantize_kv(k)  # scales [T, nkv]
         v, v_scale = _quantize_kv(v)
-        kcs_flat = kcs.reshape(L, P * ps, nkv)
-        vcs_flat = vcs.reshape(L, P * ps, nkv)
-        kcs_flat = kcs_flat.at[li, slot_mapping].set(k_scale, mode="drop")
-        vcs_flat = vcs_flat.at[li, slot_mapping].set(v_scale, mode="drop")
-        kcs = kcs_flat.reshape(L, P, ps, nkv)
-        vcs = vcs_flat.reshape(L, P, ps, nkv)
-    k_flat = kk.reshape(L, P * ps, nkv, hd)
-    v_flat = vv.reshape(L, P * ps, nkv, hd)
-    k_flat = k_flat.at[li, slot_mapping].set(k, mode="drop")
-    v_flat = v_flat.at[li, slot_mapping].set(v, mode="drop")
-    return (
-        k_flat.reshape(L, P, ps, nkv, hd),
-        v_flat.reshape(L, P, ps, nkv, hd),
-        kcs,
-        vcs,
-    )
+        kcs = kcs.at[li, pages, heads, offs].set(k_scale, mode="drop")
+        vcs = vcs.at[li, pages, heads, offs].set(v_scale, mode="drop")
+    kk = kk.at[li, pages, heads, offs].set(k, mode="drop")
+    vv = vv.at[li, pages, heads, offs].set(v, mode="drop")
+    return kk, vv, kcs, vcs
 
 
 def _decoder_layer(
@@ -230,7 +233,7 @@ def _decoder_layer(
     lp: Params,  # per-layer plain weights (sliced by the scan)
     qlp: Params,  # FULL-stack quantized weights (indexed by li; see forward)
     li: jax.Array,  # scalar layer index into the stacked cache
-    kk: jax.Array,  # [L, nkv, P, ps, hd] full stacked cache (carry)
+    kk: jax.Array,  # [L, P, nkv, ps, hd] full stacked cache (carry)
     vv: jax.Array,
     kcs: Optional[jax.Array],
     vcs: Optional[jax.Array],
@@ -254,9 +257,15 @@ def _decoder_layer(
     # attn_impl doubles as the matmul impl switch: "pallas" routes quantized
     # weights through the fused dequant-matmul kernel (kernels/quant_matmul.py)
     mm = attn_impl
-    q = matmul(normed, proj("q_proj"), mm, li).reshape(T, c.num_attention_heads, c.head_dim)
-    k = matmul(normed, proj("k_proj"), mm, li).reshape(T, c.num_key_value_heads, c.head_dim)
-    v = matmul(normed, proj("v_proj"), mm, li).reshape(T, c.num_key_value_heads, c.head_dim)
+
+    def pmm(xin, name: str):
+        # transposed ([out, in]) storage only applies to plain weights
+        t = name in TRANSPOSED_PROJS and name in lp
+        return matmul(xin, proj(name), mm, li, transposed=t)
+
+    q = pmm(normed, "q_proj").reshape(T, c.num_attention_heads, c.head_dim)
+    k = pmm(normed, "k_proj").reshape(T, c.num_key_value_heads, c.head_dim)
+    v = pmm(normed, "v_proj").reshape(T, c.num_key_value_heads, c.head_dim)
 
     # Per-head RMSNorm before RoPE (qwen3.rs:224-232)
     q = head_rms_norm(q, lp["q_norm"], c.rms_norm_eps)
@@ -309,14 +318,14 @@ def _decoder_layer(
         )
 
     # Row-parallel o_proj (all-reduce inserted by GSPMD under TP)
-    hidden = matmul(attn_out.reshape(T, c.q_size), proj("o_proj"), mm, li)
+    hidden = pmm(attn_out.reshape(T, c.q_size), "o_proj")
 
     normed, residual = rms_norm(
         hidden, lp["post_attention_layernorm"], c.rms_norm_eps, residual
     )
-    gate = matmul(normed, proj("gate_proj"), mm, li)
-    up = matmul(normed, proj("up_proj"), mm, li)
-    hidden = matmul(jax.nn.silu(gate) * up, proj("down_proj"), mm, li)
+    gate = pmm(normed, "gate_proj")
+    up = pmm(normed, "up_proj")
+    hidden = pmm(jax.nn.silu(gate) * up, "down_proj")
     return hidden, residual, kk, vv, kcs, vcs
 
 

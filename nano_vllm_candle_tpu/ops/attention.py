@@ -8,7 +8,7 @@ its GQA expand (``qwen3.rs:236-256``) with mask computation on device and a
 grouped-einsum GQA that never materializes repeated K/V.
 
 Shapes follow the paged-KV layout
-``[num_pages, page_size, num_kv_heads, head_dim]`` (token rows contiguous —
+``[num_pages, num_kv_heads, page_size, head_dim]`` (head-major pages —
 see ``models/qwen3.KVCache``), with per-sequence block tables exactly like
 the reference's ``Sequence::block_table`` contract
 (``/root/reference/src/engine/sequence.rs:18``).
@@ -84,44 +84,48 @@ def paged_decode_attention(
 
     Args:
       q: ``[B, num_q_heads, head_dim]`` — the new token's query per slot.
-      k_cache/v_cache: ``[num_pages, page_size, num_kv_heads, head_dim]``.
+      k_cache/v_cache: ``[num_pages, num_kv_heads, page_size, head_dim]``
+        (head-major pages; see ``models/qwen3.KVCache``).
       block_tables: ``[B, max_blocks_per_seq]`` int32 physical page ids
         (entries past the sequence's pages may be arbitrary valid ids).
       seq_lens: ``[B]`` int32 — tokens in context *including* the new token
         (whose k/v must already be written to the cache).
       scale: softmax scale.
-      k_scale/v_scale: ``[num_pages, page_size, num_kv_heads]`` per-vector
+      k_scale/v_scale: ``[num_pages, num_kv_heads, page_size]`` per-vector
         dequant scales for INT8 caches (None = unquantized).
 
     Returns:
       ``[B, num_q_heads, head_dim]``.
     """
     B, nq, hd = q.shape
-    _, page_size, nkv, _ = k_cache.shape
+    _, nkv, page_size, _ = k_cache.shape
     g = nq // nkv
     W = block_tables.shape[1]
 
-    # Gather each sequence's pages: [B, W, page_size, nkv, hd] -> [B, S, nkv, hd]
-    k = jnp.take(k_cache, block_tables, axis=0).reshape(B, W * page_size, nkv, hd)
-    v = jnp.take(v_cache, block_tables, axis=0).reshape(B, W * page_size, nkv, hd)
+    # Gather each sequence's pages: [B, W, nkv, page_size, hd] -> [B, nkv, S, hd]
+    k = jnp.take(k_cache, block_tables, axis=0)
+    v = jnp.take(v_cache, block_tables, axis=0)
     if k_scale is not None:
-        ks = jnp.take(k_scale, block_tables, axis=0).reshape(B, W * page_size, nkv, 1)
-        vs = jnp.take(v_scale, block_tables, axis=0).reshape(B, W * page_size, nkv, 1)
+        ks = jnp.take(k_scale, block_tables, axis=0)[..., None]
+        vs = jnp.take(v_scale, block_tables, axis=0)[..., None]
         compute_dtype = q.dtype if q.dtype != jnp.int8 else jnp.bfloat16
         k = (k.astype(jnp.float32) * ks).astype(compute_dtype)
         v = (v.astype(jnp.float32) * vs).astype(compute_dtype)
+    S = W * page_size
+    k = jnp.swapaxes(k, 1, 2).reshape(B, nkv, S, hd)
+    v = jnp.swapaxes(v, 1, 2).reshape(B, nkv, S, hd)
 
     qg = q.reshape(B, nkv, g, hd)
     scores = jnp.einsum(
-        "bkgd,bskd->bkgs", qg, k, preferred_element_type=jnp.float32
+        "bkgd,bksd->bkgs", qg, k, preferred_element_type=jnp.float32
     ) * scale
 
-    token_idx = jnp.arange(W * page_size, dtype=jnp.int32)
+    token_idx = jnp.arange(S, dtype=jnp.int32)
     mask = token_idx[None, :] < seq_lens[:, None]  # [B, S]
     scores = jnp.where(mask[:, None, None, :], scores, MASK_VALUE)
 
     weights = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bkgs,bskd->bkgd", weights.astype(v.dtype), v)
+    out = jnp.einsum("bkgs,bksd->bkgd", weights.astype(v.dtype), v)
     # q.dtype, not v.dtype: the KV cache may be wider/narrower than the
     # activations (e.g. f32 cache under bf16 weights) and the layer-scan
     # carry requires a stable hidden dtype.

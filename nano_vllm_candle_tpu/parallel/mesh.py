@@ -47,35 +47,49 @@ def make_mesh(
 
 
 # column-parallel (shard output dim) / row-parallel (shard contraction dim) /
-# replicated, per layer entry — the linear.rs variant mapping (layers/linear.py)
+# replicated, per layer entry — the linear.rs variant mapping
+# (layers/linear.py). The ``_t`` kinds are stored TRANSPOSED ([L, out, in],
+# layers/linear.TRANSPOSED_PROJS), flipping which plain axis carries the
+# sharded dim; their quantized ``[L, G, gs, out]`` form is orientation-fixed.
 _LAYER_KINDS = {
     "input_layernorm": "rep",
-    "q_proj": "col",
-    "k_proj": "col",
-    "v_proj": "col",
+    "q_proj": "col_t",
+    "k_proj": "col_t",
+    "v_proj": "col_t",
     "q_norm": "rep",
     "k_norm": "rep",
     "o_proj": "row",
     "post_attention_layernorm": "rep",
     "gate_proj": "col",
     "up_proj": "col",
-    "down_proj": "row",
+    "down_proj": "row_t",
 }
 
 
 def _spec_for(kind: str, ndim: int) -> P:
     """Kind → PartitionSpec, robust to quantized-weight leaf shapes.
 
-    Plain stacked weights are ``[L, in, out]``; quantized ones are
-    ``q[L, G, gs, out]`` + ``s[L, G, 1, out]`` (layers/linear.py). Column
-    kinds shard the last (output) dim; row kinds shard axis 1 — ``in`` for
-    plain, the group axis ``G`` for quantized — both the contraction dim.
+    Plain stacked weights are rank 3 (``[L, in, out]``, or ``[L, out, in]``
+    for ``_t`` kinds); quantized ones are rank 4: ``q[L, G, gs, out]`` +
+    ``s[L, G, 1, out]`` (layers/linear.py). Column kinds shard the output
+    dim; row kinds shard the contraction dim (the group axis ``G`` when
+    quantized).
     """
-    if kind == "col":
-        return P(*([None] * (ndim - 1)), "tp")
-    if kind == "row":
-        return P(None, "tp", *([None] * (ndim - 2)))
-    return P(*([None] * ndim))
+    if kind == "rep":
+        return P(*([None] * ndim))
+    if ndim == 4:  # quantized group layout, orientation-independent
+        if kind in ("col", "col_t"):
+            return P(None, None, None, "tp")  # shard out
+        return P(None, "tp", None, None)  # row*: shard groups (contraction)
+    if kind == "col":  # [L, in, out]
+        return P(None, None, "tp")
+    if kind == "col_t":  # [L, out, in]
+        return P(None, "tp", None)
+    if kind == "row":  # [L, in, out]
+        return P(None, "tp", None)
+    if kind == "row_t":  # [L, out, in]
+        return P(None, None, "tp")
+    raise ValueError(f"unknown layer kind {kind!r}")
 
 
 def qwen3_param_pspecs(config: Qwen3Config, params: Any) -> Any:
@@ -96,9 +110,9 @@ def qwen3_param_pspecs(config: Qwen3Config, params: Any) -> Any:
 
 
 def kv_cache_pspec(ndim: int = 5) -> P:
-    """``[L, pages, page_size, num_kv_heads(, head_dim)]`` — shard kv_heads
-    (axis 3) on tp; rank 4 covers the int8 per-vector scale arrays."""
-    return P(None, None, None, "tp", *([None] * (ndim - 4)))
+    """``[L, pages, num_kv_heads, page_size(, head_dim)]`` — shard kv_heads
+    (axis 2) on tp; rank 4 covers the int8 per-vector scale arrays."""
+    return P(None, None, "tp", *([None] * (ndim - 3)))
 
 
 def shard_params(params: Any, mesh: Mesh, config: Qwen3Config) -> Any:

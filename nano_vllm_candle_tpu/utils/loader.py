@@ -14,9 +14,12 @@ q/k/v and gate/up at load (``qwen3.rs:171,310``). TPU-native differences:
   per-rank shards (each rank needs [q_shard|k_shard|v_shard]); separate
   arrays shard cleanly and XLA still runs them as one fused pass.
 
-Torch ``nn.Linear`` stores ``[out, in]``; our matmuls are ``x @ W`` so every
-projection is transposed to ``[in, out]`` at load (the reference transposes
-only lm_head, ``qwen3.rs:525-528``, because Candle matmuls ``x @ W.T``).
+Torch ``nn.Linear`` stores ``[out, in]``. Projections in
+``layers.linear.TRANSPOSED_PROJS`` (q/k/v/down) keep that orientation — it
+is the measured-faster one on v5e and the matmul contracts their last axis —
+while the rest are transposed to ``[in, out]`` at load (the reference
+transposes only lm_head, ``qwen3.rs:525-528``, because Candle matmuls
+``x @ W.T``).
 """
 
 from __future__ import annotations
@@ -83,9 +86,10 @@ def load_qwen3_params(
         "embed_tokens": get("model.embed_tokens.weight"),
         "layers": {
             "input_layernorm": stack("model.layers.{}.input_layernorm.weight"),
-            "q_proj": stack("model.layers.{}.self_attn.q_proj.weight", transpose=True),
-            "k_proj": stack("model.layers.{}.self_attn.k_proj.weight", transpose=True),
-            "v_proj": stack("model.layers.{}.self_attn.v_proj.weight", transpose=True),
+            # q/k/v/down stay in torch's native [out, in] (TRANSPOSED_PROJS)
+            "q_proj": stack("model.layers.{}.self_attn.q_proj.weight"),
+            "k_proj": stack("model.layers.{}.self_attn.k_proj.weight"),
+            "v_proj": stack("model.layers.{}.self_attn.v_proj.weight"),
             "q_norm": stack("model.layers.{}.self_attn.q_norm.weight"),
             "k_norm": stack("model.layers.{}.self_attn.k_norm.weight"),
             "o_proj": stack("model.layers.{}.self_attn.o_proj.weight", transpose=True),
@@ -94,7 +98,7 @@ def load_qwen3_params(
             ),
             "gate_proj": stack("model.layers.{}.mlp.gate_proj.weight", transpose=True),
             "up_proj": stack("model.layers.{}.mlp.up_proj.weight", transpose=True),
-            "down_proj": stack("model.layers.{}.mlp.down_proj.weight", transpose=True),
+            "down_proj": stack("model.layers.{}.mlp.down_proj.weight"),
         },
         "norm": get("model.norm.weight"),
     }

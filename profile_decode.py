@@ -47,23 +47,27 @@ def main():
     start_len = jnp.full((B,), SL, jnp.int32)
 
     def make_step(sl_override, do_logits, attn_impl):
-        sl0 = jnp.full((B,), sl_override, jnp.int32) if sl_override else start_len
-
-        def body(carry, i):
+        # params/bt/start_len MUST be jit ARGS, not closure constants: closure
+        # device arrays get embedded as HLO literals (1.2 GB of weights →
+        # unbounded compile time).
+        def body_outer(prm, bt_a, sl_a, carry, i):
             kv, tok = carry
-            pos = start_len - 1 + i
-            seq_lens = sl0 + (0 if sl_override else i)
-            page = jnp.take_along_axis(bt, (pos // ps)[:, None], axis=1)[:, 0]
+            pos = sl_a - 1 + i
+            seq_lens = (
+                jnp.full((B,), sl_override, jnp.int32)
+                if sl_override else sl_a + i
+            )
+            page = jnp.take_along_axis(bt_a, (pos // ps)[:, None], axis=1)[:, 0]
             slot = page * ps + pos % ps
             batch = qwen3.DecodeBatch(
                 token_ids=tok, positions=pos, slot_mapping=slot,
-                block_tables=bt, seq_lens=seq_lens,
+                block_tables=bt_a, seq_lens=seq_lens,
             )
             hidden, kv = qwen3.forward(
-                params, kv, batch, config=cfg, mode="decode",
+                prm, kv, batch, config=cfg, mode="decode",
                 attn_impl=attn_impl)
             if do_logits:
-                logits = qwen3.compute_logits(params, hidden)
+                logits = qwen3.compute_logits(prm, hidden)
                 tok = sample_tokens(
                     jax.random.fold_in(jax.random.key(0), i), logits,
                     jnp.zeros((B,)), jnp.zeros((B,), jnp.int32), jnp.ones((B,)),
@@ -73,8 +77,10 @@ def main():
             return (kv, tok), ()
 
         @jax.jit
-        def run(kv, tok):
-            (kv, tok), _ = jax.lax.scan(body, (kv, tok), jnp.arange(K, dtype=jnp.int32))
+        def run(prm, bt_a, sl_a, kv, tok):
+            (kv, tok), _ = jax.lax.scan(
+                lambda c, i: body_outer(prm, bt_a, sl_a, c, i),
+                (kv, tok), jnp.arange(K, dtype=jnp.int32))
             return kv, tok
         return run
 
@@ -82,12 +88,12 @@ def main():
         print(f"# compiling {label} ...", flush=True)
         kv = qwen3.init_kv_cache(cfg, P, ps, jnp.bfloat16)
         tok = jnp.zeros((B,), jnp.int32)
-        kv, t = run(kv, tok)
+        kv, t = run(params, bt, start_len, kv, tok)
         np.asarray(t)  # force round trip
         best = 1e9
         for _ in range(reps):
             t0 = time.perf_counter()
-            kv, t = run(kv, tok)
+            kv, t = run(params, bt, start_len, kv, tok)
             np.asarray(t)
             best = min(best, time.perf_counter() - t0)
         per_step = best / K

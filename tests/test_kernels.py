@@ -12,8 +12,8 @@ from nano_vllm_candle_tpu.kernels.paged_decode import pallas_paged_decode_attent
 def make_case(B=4, nq=8, nkv=4, hd=128, ps=16, P=12, W=6, seed=0, dtype=jnp.float32):
     keys = jax.random.split(jax.random.key(seed), 3)
     q = jax.random.normal(keys[0], (B, nq, hd), dtype)
-    k_cache = jax.random.normal(keys[1], (P, ps, nkv, hd), dtype)
-    v_cache = jax.random.normal(keys[2], (P, ps, nkv, hd), dtype)
+    k_cache = jax.random.normal(keys[1], (P, nkv, ps, hd), dtype)
+    v_cache = jax.random.normal(keys[2], (P, nkv, ps, hd), dtype)
     rng = np.random.default_rng(seed)
     # distinct valid pages per sequence (page 0 = null)
     block_tables = np.zeros((B, W), np.int32)
@@ -64,7 +64,7 @@ class TestPagedDecodeKernel:
 
     def test_int8_kv_matches_xla_reference(self):
         q, k, v, bt, sl = make_case(seed=7)
-        ps_shape = k.shape[:3]  # [P, ps, nkv]
+        ps_shape = k.shape[:3]  # [P, nkv, ps]
         keys = jax.random.split(jax.random.key(11), 2)
         kq = jnp.clip(jnp.round(k * 20), -127, 127).astype(jnp.int8)
         vq = jnp.clip(jnp.round(v * 20), -127, 127).astype(jnp.int8)

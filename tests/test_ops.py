@@ -166,8 +166,8 @@ class TestPagedDecodeAttention:
         block_tables = jnp.array([[2, 5, 0], [1, 0, 0]], jnp.int32)
         ks = jax.random.split(key, 4)
         q = jax.random.normal(ks[0], (B, nq, hd), jnp.float32)
-        k_cache = jax.random.normal(ks[1], (P, ps, nkv, hd), jnp.float32)
-        v_cache = jax.random.normal(ks[2], (P, ps, nkv, hd), jnp.float32)
+        k_cache = jax.random.normal(ks[1], (P, nkv, ps, hd), jnp.float32)
+        v_cache = jax.random.normal(ks[2], (P, nkv, ps, hd), jnp.float32)
         scale = hd**-0.5
 
         out = paged_decode_attention(q, k_cache, v_cache, block_tables, seq_lens, scale)
@@ -176,8 +176,13 @@ class TestPagedDecodeAttention:
         for b in range(B):
             L = int(seq_lens[b])
             pages = [int(p) for p in block_tables[b]]
-            k_seq = np.concatenate([np.asarray(k_cache[p]) for p in pages], axis=0)[:L]
-            v_seq = np.concatenate([np.asarray(v_cache[p]) for p in pages], axis=0)[:L]
+            # pages are head-major [nkv, ps, hd] -> token-major [ps, nkv, hd]
+            k_seq = np.concatenate(
+                [np.asarray(k_cache[p]).transpose(1, 0, 2) for p in pages], axis=0
+            )[:L]
+            v_seq = np.concatenate(
+                [np.asarray(v_cache[p]).transpose(1, 0, 2) for p in pages], axis=0
+            )[:L]
             for h in range(nq):
                 kh = h // g
                 s = (np.asarray(q[b, h]) @ k_seq[:, kh].T) * scale

@@ -83,10 +83,14 @@ def test_param_shardings_place_correctly(tiny_params):
     mesh = make_mesh(tp=8)
     sharded = shard_params(tiny_params, mesh, CFG)
     qp = sharded["layers"]["q_proj"]
-    # out dim sharded 8-ways
-    assert qp.sharding.shard_shape(qp.shape)[-1] == qp.shape[-1] // 8
+    # q_proj is stored transposed [L, out, in]: out dim (axis 1) sharded 8-ways
+    assert qp.sharding.shard_shape(qp.shape)[1] == qp.shape[1] // 8
     op = sharded["layers"]["o_proj"]
+    # o_proj is [L, in, out]: contraction dim (axis 1) sharded 8-ways
     assert op.sharding.shard_shape(op.shape)[1] == op.shape[1] // 8
+    dp_ = sharded["layers"]["down_proj"]
+    # down_proj is stored transposed [L, out, in]: contraction (last) sharded
+    assert dp_.sharding.shard_shape(dp_.shape)[-1] == dp_.shape[-1] // 8
 
 
 @pytest.mark.parametrize("tp,dp", [(8, 1), (2, 1), (2, 4), (1, 4)])
