@@ -179,6 +179,10 @@ class EngineConfig:
     quant_group_size: int = 128  # sub-channel group along the contraction dim
     prefill_buckets: Sequence[int] = DEFAULT_PREFILL_BUCKETS
     use_pallas_kernels: bool = True  # pallas kernels on TPU, XLA fallback elsewhere
+    # Explicit attention impl override: "pallas" (group-commit ring + pallas
+    # kernels), "xla_ring" (ring + XLA twins; CPU-testable), "xla" (direct
+    # per-token cache writes, the numerics reference). None = auto.
+    attn_impl: Optional[str] = None
     # parallelism (mesh axes); tp shards heads/ffn, dp shards request slots
     tp_size: int = 1
     dp_size: int = 1

@@ -59,6 +59,12 @@ class JaxModelRunner:
             on_tpu = jax.devices()[0].platform != "cpu"
             attn_impl = "pallas" if (engine_config.use_pallas_kernels and on_tpu) else "xla"
         self.attn_impl = attn_impl
+        self.ring_mode = attn_impl in qwen3.RING_IMPLS
+        if self.ring_mode and engine_config.kvcache_block_size % qwen3.GROUP:
+            raise ValueError(
+                f"kvcache_block_size must be a multiple of {qwen3.GROUP} "
+                f"for attn_impl={attn_impl!r} (group-commit cache)"
+            )
 
         kv_dtype = jnp.dtype(engine_config.kv_cache_dtype)
         self.kv_cache = qwen3.init_kv_cache(
@@ -66,6 +72,8 @@ class JaxModelRunner:
             engine_config.num_kvcache_blocks,
             engine_config.kvcache_block_size,
             kv_dtype,
+            ring_batch=engine_config.max_num_seqs if self.ring_mode else None,
+            ring_dtype=jnp.dtype(engine_config.dtype),
         )
         if mesh is not None:
             from nano_vllm_candle_tpu.parallel.mesh import (
@@ -115,7 +123,7 @@ class JaxModelRunner:
         #       embedded in the lowered HLO, which forces a device->host
         #       fetch during *lowering* — and the first D2H of a process
         #       stalls minutes on the tunneled chip; see utils/warmup)
-        tok_i32,  # [T, 4]: token_ids, positions, seg_ids, slot_mapping
+        tok_i32,  # [T, 5]: token_ids, positions, seg_ids, slot_mapping, ring_slot
         seq_i32,  # [B, 2]: logits_indices, top_k
         seq_f32,  # [B, 2]: temperature, top_p
         step,
@@ -129,6 +137,7 @@ class JaxModelRunner:
             seg_ids=tok_i32[:, 2],
             slot_mapping=tok_i32[:, 3],
             logits_indices=seq_i32[:, 0],
+            ring_slots=tok_i32[:, 4],
         )
         hidden, kv_cache = qwen3.forward(
             params, kv_cache, batch,
@@ -260,13 +269,22 @@ class JaxModelRunner:
         return seq_i32, seq_f32, use_top_k, use_top_p
 
     def _build_prefill_tokens(self, seqs: List[Sequence], seq_i32: np.ndarray):
-        """Packed token stream int32 [T, 4] (token, position, seg, slot);
-        fills logits_indices into seq_i32[:, 0]."""
-        bm = self.block_manager
-        total = sum(len(s) for s in seqs)
+        """Packed token stream int32 [T, 5] (token, position, seg, slot,
+        ring_slot); fills logits_indices into seq_i32[:, 0].
+
+        Each sequence is padded to a multiple of GROUP so cache-commit
+        groups never straddle sequences and group starts stay GROUP-aligned
+        within a page (ring mode; harmless padding otherwise). The last up
+        to GROUP-1 real tokens of each sequence are its ring tail
+        (``ring_slot = position % GROUP``); everything else carries the
+        trash row GROUP.
+        """
+        G = qwen3.GROUP
+        total = sum(-(-len(s) // G) * G for s in seqs)
         T = self._bucket(total)
-        tok_i32 = np.zeros((T, 4), np.int32)
+        tok_i32 = np.zeros((T, 5), np.int32)
         tok_i32[:, 2] = -1  # seg_id padding
+        tok_i32[:, 4] = G  # ring trash row
         t = 0
         for i, seq in enumerate(seqs):
             L = len(seq)
@@ -277,8 +295,10 @@ class JaxModelRunner:
             table = np.asarray(seq.block_table, np.int64)
             idx = np.arange(L)
             tok_i32[t : t + L, 3] = table[idx // bs] * bs + idx % bs
-            t += L
-            seq_i32[i, 0] = t - 1
+            committed = (L // G) * G
+            tok_i32[t + committed : t + L, 4] = np.arange(committed, L) % G
+            seq_i32[i, 0] = t + L - 1
+            t += -(-L // G) * G  # advance past the sequence's GROUP padding
         return tok_i32
 
     def _dp_sharding(self, row_sharded: bool):

@@ -58,14 +58,17 @@ def _decode_kernel(
     q_ref,  # [1, nkv, g, hd]
     k_ref,  # [1, 1, nkv, ps, hd]
     v_ref,  # [1, 1, nkv, ps, hd]
-    *rest,  # [ks_ref, vs_ref,] o_ref, m/l/acc scratch
+    *rest,  # [ks_ref, vs_ref,] o_ref [, mo_ref, lo_ref], m/l/acc scratch
     scale: float,
     page_size: int,
     num_pages_per_seq: int,
     quantized: bool,
+    return_stats: bool,
 ):
     if quantized:
-        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+        ks_ref, vs_ref, *rest = rest
+    if return_stats:
+        o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = rest
     else:
         o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
@@ -130,9 +133,16 @@ def _decode_kernel(
         safe_l = jnp.where(l == 0.0, 1.0, l)
         out = (acc_ref[...] / safe_l).reshape(nkv, g, hd)
         o_ref[0] = out.astype(o_ref.dtype)
+        if return_stats:
+            # Full (nq, 128)-broadcast stats blocks (tile-aligned output);
+            # callers read column 0.
+            mo_ref[0] = m_ref[...]
+            lo_ref[0] = l_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret", "return_stats")
+)
 def pallas_paged_decode_attention(
     q: jax.Array,  # [B, nq, hd]
     k_cache: jax.Array,  # [L, P, nkv, ps, hd] (or [P, nkv, ps, hd], layer 0)
@@ -145,7 +155,8 @@ def pallas_paged_decode_attention(
     v_scale: Optional[jax.Array] = None,
     layer_index: Optional[jax.Array] = None,
     interpret: bool = False,
-) -> jax.Array:
+    return_stats: bool = False,
+):
     """Decode attention against one layer of the full stacked paged cache.
 
     Taking the stacked ``[L, ...]`` cache + a runtime ``layer_index`` (rather
@@ -156,6 +167,12 @@ def pallas_paged_decode_attention(
 
     INT8 caches pass ``k_scale``/``v_scale``; dequantization happens in VMEM
     right after the page DMA, so the HBM read is genuinely half-width.
+
+    ``return_stats=True`` additionally returns the online-softmax statistics
+    ``(m, l)`` as f32 ``[B, nq]`` (row max and exp-sum), letting the caller
+    merge this partial attention with another source (the group-commit ring
+    in ``models/qwen3``) via the flash combine identity. With stats, ``out``
+    is still normalized by ``l`` (callers re-weight by ``l``).
     """
     B, nq, hd = q.shape
     quantized = k_scale is not None
@@ -200,29 +217,49 @@ def pallas_paged_decode_attention(
         ]
         operands += [k_scale, v_scale]
 
+    kernel = functools.partial(
+        _decode_kernel, scale=scale, page_size=ps, num_pages_per_seq=W,
+        quantized=quantized, return_stats=return_stats,
+    )
+    out_dtype = q.dtype
+    nq_ = nkv * g
+    out_shape = jax.ShapeDtypeStruct((B, nkv, g, hd), out_dtype)
+    out_specs = pl.BlockSpec((1, nkv, g, hd), q_index_map)
+    if return_stats:
+        def stat_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref):
+            return (b, 0, 0)
+
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((B, nq_, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, nq_, 128), jnp.float32),
+        )
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((1, nq_, 128), stat_index_map),
+            pl.BlockSpec((1, nq_, 128), stat_index_map),
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, W),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, nkv, g, hd), q_index_map),
+        out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((nq, 128), jnp.float32),  # m
-            pltpu.VMEM((nq, 128), jnp.float32),  # l
-            pltpu.VMEM((nq, hd), jnp.float32),  # acc
+            pltpu.VMEM((nq_, 128), jnp.float32),  # m
+            pltpu.VMEM((nq_, 128), jnp.float32),  # l
+            pltpu.VMEM((nq_, hd), jnp.float32),  # acc
         ],
     )
-    kernel = functools.partial(
-        _decode_kernel, scale=scale, page_size=ps, num_pages_per_seq=W,
-        quantized=quantized,
-    )
-    out_dtype = q.dtype
-    out = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, nkv, g, hd), out_dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(li, seq_lens, block_tables, *operands)
-    return out.reshape(B, nq, hd)
+    if return_stats:
+        out, m, l = res
+        return out.reshape(B, nq, hd), m[:, :, 0], l[:, :, 0]
+    return res.reshape(B, nq, hd)

@@ -86,6 +86,7 @@ class LLM:
         self.model_runner = JaxModelRunner(
             params, config, engine_config, mesh=mesh,
             block_manager=scheduler.block_manager,
+            attn_impl=engine_config.attn_impl,
         )
         self.engine = LLMEngine(scheduler, self.model_runner)
 

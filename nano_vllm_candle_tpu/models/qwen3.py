@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from nano_vllm_candle_tpu.config import Qwen3Config
 from nano_vllm_candle_tpu.ops.activation import silu_and_mul
 from nano_vllm_candle_tpu.ops.attention import (
+    MASK_VALUE,
     packed_prefill_attention,
     paged_decode_attention,
 )
@@ -46,6 +47,15 @@ from nano_vllm_candle_tpu.ops.rotary import apply_rope_positions, build_rope_tab
 Params = Dict[str, Any]
 
 
+#: Cache-commit group: page writes happen in aligned runs of this many
+#: tokens so every committed window is whole physical tiles — the only
+#: write granularity that avoids read-modify-write into the head-major page
+#: layout. 32 covers every cache dtype's sublane tiling (int8 (32,128) = 1
+#: tile, bf16 (16,128) = 2, f32 (8,128) = 4). Pages must be a multiple of
+#: this (asserted by the runner).
+GROUP = 32
+
+
 class PrefillBatch(NamedTuple):
     """Packed multi-sequence prefill inputs (static T per bucket)."""
 
@@ -54,6 +64,10 @@ class PrefillBatch(NamedTuple):
     seg_ids: jax.Array  # [T] int32, -1 for padding
     slot_mapping: jax.Array  # [T] int32 flat cache slot (page*page_size+off)
     logits_indices: jax.Array  # [B] int32 token index of each seq's last token
+    # Ring-mode only (group-commit cache): ring row for tail tokens
+    # (position >= the sequence's last full GROUP boundary), GROUP = trash
+    # row for everything else. None in direct-write mode.
+    ring_slots: Optional[jax.Array] = None  # [T] int32 in [0, GROUP]
 
 
 class DecodeBatch(NamedTuple):
@@ -90,6 +104,16 @@ class KVCache(NamedTuple):
     v: jax.Array
     k_scale: Optional[jax.Array] = None
     v_scale: Optional[jax.Array] = None
+    # Group-commit staging ring (ring mode only): ``[L, B, GROUP + 1, nkv,
+    # hd]`` in the ACTIVATION dtype (bf16 even under int8 paged storage —
+    # quantization happens at group commit). Ring row ``pos % GROUP`` holds
+    # the not-yet-committed tail of each slot's sequence; row GROUP is a
+    # trash row for non-tail prefill writes. Per-token ring writes land on
+    # the minor ``[nkv, hd]`` dims — whole tiles, so the scatter is cheap —
+    # and whole groups commit to pages as aligned ``[nkv, GROUP, hd]``
+    # windows.
+    ring_k: Optional[jax.Array] = None
+    ring_v: Optional[jax.Array] = None
 
     @property
     def quantized(self) -> bool:
@@ -101,7 +125,12 @@ def init_kv_cache(
     num_pages: int,
     page_size: int,
     dtype: jnp.dtype = jnp.bfloat16,
+    *,
+    ring_batch: Optional[int] = None,
+    ring_dtype: jnp.dtype = jnp.bfloat16,
 ) -> KVCache:
+    """Allocate the paged cache; ``ring_batch=B`` adds the group-commit
+    staging ring (required for the ring-mode attention impls)."""
     shape = (
         config.num_hidden_layers,
         num_pages,
@@ -109,14 +138,28 @@ def init_kv_cache(
         page_size,
         config.head_dim,
     )
+    rings = {}
+    if ring_batch is not None:
+        rshape = (
+            config.num_hidden_layers,
+            ring_batch,
+            GROUP + 1,
+            config.num_key_value_heads,
+            config.head_dim,
+        )
+        rings = dict(
+            ring_k=jnp.zeros(rshape, ring_dtype),
+            ring_v=jnp.zeros(rshape, ring_dtype),
+        )
     if jnp.dtype(dtype) == jnp.int8:
         return KVCache(
             jnp.zeros(shape, jnp.int8),
             jnp.zeros(shape, jnp.int8),
             jnp.zeros(shape[:-1], jnp.float32),
             jnp.zeros(shape[:-1], jnp.float32),
+            **rings,
         )
-    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), **rings)
 
 
 # --------------------------------------------------------------------------
@@ -227,6 +270,163 @@ def _write_kv(
     return kk, vv, kcs, vcs
 
 
+# --------------------------------------------------------------------------
+# Group-commit ring (the write path for the Pallas/ring attention impls)
+#
+# Single-token writes into the head-major page layout are sub-tile (a token
+# is one ps-row of a (8,128)(2,1)-tiled [ps, hd] plane), which XLA lowers to
+# an expensive per-index RMW scatter (~0.6 ms/step measured at bs16). In
+# ring mode, tokens stage in the tile-aligned ring (KVCache.ring_k docs) and
+# pages receive only whole [nkv, GROUP, hd] windows — full physical tiles.
+# --------------------------------------------------------------------------
+
+
+def _scatter_groups(cache, updates, li_col, pages, offs, *, promise=True):
+    """Scatter ``updates [N, nkv, GROUP(, hd)]`` into
+    ``cache [L, P, nkv, ps(, hd)]`` at rows ``(li, page, off)``.
+
+    Used for both page data (rank-5) and int8 scale planes (rank-4).
+    """
+    n_win = updates.ndim - 1  # window dims in the update
+    idx = jnp.stack(
+        [li_col, pages.astype(jnp.int32), offs.astype(jnp.int32)], axis=-1
+    )
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=tuple(range(1, 1 + n_win)),
+        inserted_window_dims=(0, 1),
+        scatter_dims_to_operand_dims=(0, 1, 3),
+    )
+    return jax.lax.scatter(
+        cache, idx, updates.astype(cache.dtype), dnums,
+        indices_are_sorted=False, unique_indices=False,
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS if promise
+        else jax.lax.GatherScatterMode.FILL_OR_DROP,
+    )
+
+
+def _commit_windows(
+    kk, vv, kcs, vcs, upd_k, upd_v, li, pages, offs, use_kernel
+):
+    """Write N aligned ``[nkv, GROUP, hd]`` windows (``upd_k/v [N, nkv,
+    GROUP, hd]``, activation dtype) into the caches at ``(li, page, off)``.
+
+    ``use_kernel=True`` routes through the Pallas aliased-output commit
+    kernel (kernels/kv_commit.py) — XLA lowers the equivalent
+    ``lax.scatter`` to a serialized select + full-cache DUS loop costing
+    more than the attention itself. The scatter form remains for the
+    CPU-testable ``xla_ring`` impl.
+    """
+    quant = kcs is not None
+    sk = sv = None
+    if quant:
+        upd_k, sk = _quantize_kv(upd_k)  # scales [N, nkv, GROUP]
+        upd_v, sv = _quantize_kv(upd_v)
+    if use_kernel:
+        from nano_vllm_candle_tpu.kernels.kv_commit import pallas_commit_groups
+
+        out = pallas_commit_groups(
+            kk, vv, upd_k, upd_v, li, pages, offs,
+            k_scale_cache=kcs, v_scale_cache=vcs,
+            k_scale_upd=sk, v_scale_upd=sv,
+        )
+        if quant:
+            return out
+        return out[0], out[1], None, None
+    N = pages.shape[0]
+    li_col = jnp.full((N,), li, jnp.int32)
+    if quant:
+        kcs = _scatter_groups(kcs, sk, li_col, pages, offs)
+        vcs = _scatter_groups(vcs, sv, li_col, pages, offs)
+    kk = _scatter_groups(kk, upd_k, li_col, pages, offs)
+    vv = _scatter_groups(vv, upd_v, li_col, pages, offs)
+    return kk, vv, kcs, vcs
+
+
+def _commit_prefill_groups(
+    kk, vv, kcs, vcs, k, v, slot_mapping, ring_slots, li, ps, use_kernel
+):
+    """Commit every full GROUP of the packed prefill stream to its page.
+
+    The runner pads each sequence to a GROUP multiple, so groups never
+    straddle sequences and group-start slots are GROUP-aligned within a
+    page. A group whose first token is a tail token (``ring_slots < GROUP``)
+    or stream padding (slot 0) targets the null page instead.
+    """
+    T = k.shape[0]
+    nG = T // GROUP
+    first_slot = slot_mapping[::GROUP]  # [nG]
+    full = ring_slots[::GROUP] == GROUP
+    pages = jnp.where(full, first_slot // ps, 0)
+    offs = jnp.where(full, first_slot % ps, 0)
+
+    def regroup(x):  # [T, nkv, hd] -> [nG, nkv, GROUP, hd]
+        return jnp.swapaxes(x.reshape(nG, GROUP, *x.shape[1:]), 1, 2)
+
+    return _commit_windows(
+        kk, vv, kcs, vcs, regroup(k), regroup(v), li, pages, offs, use_kernel
+    )
+
+
+def _commit_decode_group(
+    kk, vv, kcs, vcs, rk_l, rv_l, li, n, block_tables, ps, use_kernel
+):
+    """When a slot's length ``n`` crosses a GROUP boundary, commit its full
+    ring (positions n-GROUP..n-1, which occupy ring rows 0..GROUP-1 in
+    position order) to the page; other slots write their window into the
+    null page."""
+    flush = (n > 0) & (n % GROUP == 0)
+    start = jnp.maximum(n - GROUP, 0)
+    page = jnp.take_along_axis(block_tables, (start // ps)[:, None], 1)[:, 0]
+    pages = jnp.where(flush, page, 0)
+    offs = jnp.where(flush, start % ps, 0)
+    upd_k = jnp.swapaxes(rk_l[:, :GROUP], 1, 2)  # [B, nkv, GROUP, hd]
+    upd_v = jnp.swapaxes(rv_l[:, :GROUP], 1, 2)
+    return _commit_windows(
+        kk, vv, kcs, vcs, upd_k, upd_v, li, pages, offs, use_kernel
+    )
+
+
+def _ring_attention(q, ring_k, ring_v, n, committed, scale):
+    """Attention over the uncommitted ring tail (positions
+    ``[committed, n)``; ring row j holds position committed + j).
+
+    Returns unnormalized ``(out_u [B, nkv, g, hd] f32, m [B, nkv, g],
+    l [B, nkv, g])`` for the flash combine with the paged part.
+    """
+    B, nkv, g, hd = q.shape
+    s = jnp.einsum(
+        "bkgd,bjkd->bkgj", q, ring_k[:, :GROUP],
+        preferred_element_type=jnp.float32,
+    ) * scale  # [B, nkv, g, GROUP]
+    valid = jnp.arange(GROUP, dtype=jnp.int32)[None, :] < (n - committed)[:, None]
+    s = jnp.where(valid[:, None, None, :], s, MASK_VALUE)
+    m = jnp.max(s, axis=-1)
+    p = jnp.exp(s - m[..., None])
+    p = jnp.where(valid[:, None, None, :], p, 0.0)
+    l = jnp.sum(p, axis=-1)
+    out_u = jnp.einsum(
+        "bkgj,bjkd->bkgd", p.astype(ring_v.dtype), ring_v[:, :GROUP],
+        preferred_element_type=jnp.float32,
+    )
+    return out_u, m, l
+
+
+def _combine_attention(out1, m1, l1, out2_u, m2, l2):
+    """Flash-merge a normalized partial attention (paged: ``out1, m1, l1``)
+    with an unnormalized one (ring: ``out2_u, m2, l2``). All f32 math;
+    zero-weight rows (inactive slots) resolve to 0."""
+    m = jnp.maximum(m1, m2)
+    w1 = l1 * jnp.exp(m1 - m)
+    a2 = jnp.exp(m2 - m)
+    denom = w1 + l2 * a2
+    safe = jnp.where(denom == 0.0, 1.0, denom)
+    num = out1.astype(jnp.float32) * w1[..., None] + out2_u * a2[..., None]
+    return num / safe[..., None]
+
+
+RING_IMPLS = ("pallas", "xla_ring")
+
+
 def _decoder_layer(
     hidden: jax.Array,
     residual: jax.Array,
@@ -237,6 +437,8 @@ def _decoder_layer(
     vv: jax.Array,
     kcs: Optional[jax.Array],
     vcs: Optional[jax.Array],
+    rk: Optional[jax.Array],  # [L, B, GROUP+1, nkv, hd] ring (ring impls)
+    rv: Optional[jax.Array],
     batch,
     config: Qwen3Config,
     mode: str,
@@ -272,11 +474,23 @@ def _decoder_layer(
     k = head_rms_norm(k, lp["k_norm"], c.rms_norm_eps)
     q, k = apply_rope_positions(q, k, batch.positions, c.rope_theta)
 
-    kk, vv, kcs, vcs = _write_kv(
-        kk, vv, kcs, vcs, k, v, batch.slot_mapping, li
-    )
+    ring = attn_impl in RING_IMPLS
+    ps = kk.shape[3]
 
     if mode == "prefill":
+        if ring:
+            # Full groups -> pages (tile-aligned); per-seq tails -> ring.
+            kk, vv, kcs, vcs = _commit_prefill_groups(
+                kk, vv, kcs, vcs, k, v, batch.slot_mapping, batch.ring_slots,
+                li, ps, attn_impl == "pallas",
+            )
+            segc = jnp.maximum(batch.seg_ids, 0)
+            rk = rk.at[li, segc, batch.ring_slots].set(k, mode="drop")
+            rv = rv.at[li, segc, batch.ring_slots].set(v, mode="drop")
+        else:
+            kk, vv, kcs, vcs = _write_kv(
+                kk, vv, kcs, vcs, k, v, batch.slot_mapping, li
+            )
         if attn_impl == "pallas":
             from nano_vllm_candle_tpu.kernels.flash_prefill import (
                 pallas_packed_prefill_attention,
@@ -289,16 +503,59 @@ def _decoder_layer(
             attn_out = packed_prefill_attention(
                 q, k, v, batch.seg_ids, batch.positions, scale
             )
-    elif attn_impl == "pallas":
-        from nano_vllm_candle_tpu.kernels.paged_decode import (
-            pallas_paged_decode_attention,
+    elif ring:
+        n = batch.seq_lens  # includes the current token; 0 = inactive slot
+        B = n.shape[0]
+        # 1. Current token -> its ring row (whole-tile write).
+        rslot = jnp.where(n > 0, batch.positions % GROUP, GROUP)
+        bidx = jnp.arange(B, dtype=jnp.int32)
+        rk = rk.at[li, bidx, rslot].set(k, mode="drop")
+        rv = rv.at[li, bidx, rslot].set(v, mode="drop")
+        # 2. Completed group (if n crossed a boundary) -> page.
+        rk_l = jax.lax.dynamic_index_in_dim(rk, li, 0, keepdims=False)
+        rv_l = jax.lax.dynamic_index_in_dim(rv, li, 0, keepdims=False)
+        kk, vv, kcs, vcs = _commit_decode_group(
+            kk, vv, kcs, vcs, rk_l, rv_l, li, n, batch.block_tables, ps,
+            attn_impl == "pallas",
         )
+        # 3. Attention = paged part (committed prefix) + ring tail, merged.
+        committed = (n // GROUP) * GROUP
+        qg = q.reshape(B, c.num_key_value_heads, c.num_q_per_kv, c.head_dim)
+        if attn_impl == "pallas":
+            from nano_vllm_candle_tpu.kernels.paged_decode import (
+                pallas_paged_decode_attention,
+            )
 
-        attn_out = pallas_paged_decode_attention(
-            q, kk, vv, batch.block_tables, batch.seq_lens, scale,
-            k_scale=kcs, v_scale=vcs, layer_index=li,
+            out1, m1, l1 = pallas_paged_decode_attention(
+                q, kk, vv, batch.block_tables, committed, scale,
+                k_scale=kcs, v_scale=vcs, layer_index=li, return_stats=True,
+            )
+        else:
+            k_l = jax.lax.dynamic_index_in_dim(kk, li, 0, keepdims=False)
+            v_l = jax.lax.dynamic_index_in_dim(vv, li, 0, keepdims=False)
+            kcs_l = (
+                jax.lax.dynamic_index_in_dim(kcs, li, 0, keepdims=False)
+                if kcs is not None else None
+            )
+            vcs_l = (
+                jax.lax.dynamic_index_in_dim(vcs, li, 0, keepdims=False)
+                if vcs is not None else None
+            )
+            out1, m1, l1 = paged_decode_attention(
+                q, k_l, v_l, batch.block_tables, committed, scale,
+                k_scale=kcs_l, v_scale=vcs_l, return_stats=True,
+            )
+        out2_u, m2, l2 = _ring_attention(qg, rk_l, rv_l, n, committed, scale)
+        shp = (B, c.num_key_value_heads, c.num_q_per_kv)
+        merged = _combine_attention(
+            out1.reshape(*shp, c.head_dim), m1.reshape(shp), l1.reshape(shp),
+            out2_u, m2, l2,
         )
+        attn_out = merged.reshape(B, c.num_attention_heads, c.head_dim).astype(q.dtype)
     else:
+        kk, vv, kcs, vcs = _write_kv(
+            kk, vv, kcs, vcs, k, v, batch.slot_mapping, li
+        )
         # XLA fallback (CPU tests): slice this layer's cache out of the
         # stack. Costs a per-layer dynamic-slice — acceptable off the TPU
         # fast path.
@@ -326,7 +583,7 @@ def _decoder_layer(
     gate = pmm(normed, "gate_proj")
     up = pmm(normed, "up_proj")
     hidden = pmm(jax.nn.silu(gate) * up, "down_proj")
-    return hidden, residual, kk, vv, kcs, vcs
+    return hidden, residual, kk, vv, kcs, vcs, rk, rv
 
 
 def forward(
@@ -363,25 +620,36 @@ def forward(
     xs_layers = {k: v for k, v in params["layers"].items() if not is_quantized(v)}
     quant_layers = {k: v for k, v in params["layers"].items() if is_quantized(v)}
 
-    def layer_fn(carry, xs):
-        h, r, kk, vv, kcs, vcs = carry
-        lp, li = xs
-        h, r, kk, vv, kcs, vcs = _decoder_layer(
-            h, r, lp, quant_layers, li, kk, vv, kcs, vcs, batch, c, mode, attn_impl
+    if attn_impl in RING_IMPLS and kv_cache.ring_k is None:
+        raise ValueError(
+            f"attn_impl={attn_impl!r} needs the group-commit ring; create the "
+            "cache with init_kv_cache(..., ring_batch=max_num_seqs)"
         )
-        return (h, r, kk, vv, kcs, vcs), None
 
-    (hidden, residual, new_k, new_v, new_kcs, new_vcs), _ = jax.lax.scan(
-        layer_fn,
-        (hidden, residual, kv_cache.k, kv_cache.v, kv_cache.k_scale, kv_cache.v_scale),
-        (xs_layers, jnp.arange(L, dtype=jnp.int32)),
+    def layer_fn(carry, xs):
+        h, r, kk, vv, kcs, vcs, rk, rv = carry
+        lp, li = xs
+        h, r, kk, vv, kcs, vcs, rk, rv = _decoder_layer(
+            h, r, lp, quant_layers, li, kk, vv, kcs, vcs, rk, rv,
+            batch, c, mode, attn_impl,
+        )
+        return (h, r, kk, vv, kcs, vcs, rk, rv), None
+
+    (hidden, residual, new_k, new_v, new_kcs, new_vcs, new_rk, new_rv), _ = (
+        jax.lax.scan(
+            layer_fn,
+            (hidden, residual, kv_cache.k, kv_cache.v,
+             kv_cache.k_scale, kv_cache.v_scale,
+             kv_cache.ring_k, kv_cache.ring_v),
+            (xs_layers, jnp.arange(L, dtype=jnp.int32)),
+        )
     )
 
     hidden, _ = rms_norm(hidden, params["norm"], c.rms_norm_eps, residual)
 
     if mode == "prefill":
         hidden = hidden[batch.logits_indices]  # [B, H]
-    return hidden, KVCache(new_k, new_v, new_kcs, new_vcs)
+    return hidden, KVCache(new_k, new_v, new_kcs, new_vcs, new_rk, new_rv)
 
 
 def compute_logits(params: Params, hidden: jax.Array) -> jax.Array:

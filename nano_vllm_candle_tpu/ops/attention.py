@@ -79,7 +79,8 @@ def paged_decode_attention(
     scale: float,
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
-) -> jax.Array:
+    return_stats: bool = False,
+):
     """One-token-per-sequence attention against the paged KV cache.
 
     Args:
@@ -123,6 +124,24 @@ def paged_decode_attention(
     token_idx = jnp.arange(S, dtype=jnp.int32)
     mask = token_idx[None, :] < seq_lens[:, None]  # [B, S]
     scores = jnp.where(mask[:, None, None, :], scores, MASK_VALUE)
+
+    if return_stats:
+        # Numerically identical to the Pallas kernel's online-softmax
+        # recurrence: row max m, exp-sum l, out normalized by l (0-guarded).
+        m = jnp.max(scores, axis=-1)  # [B, nkv, g]
+        p = jnp.exp(scores - m[..., None])
+        # A fully-masked row has scores == m == MASK_VALUE, so exp() gives 1
+        # not 0 — zero it explicitly to keep the l == 0 inactive convention.
+        p = jnp.where(mask[:, None, None, :], p, 0.0)
+        l = jnp.sum(p, axis=-1)
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        out = jnp.einsum("bkgs,bksd->bkgd", p.astype(v.dtype), v)
+        out = out / safe_l[..., None].astype(v.dtype)
+        return (
+            out.reshape(B, nq, hd).astype(q.dtype),
+            m.reshape(B, nq),
+            l.reshape(B, nq),
+        )
 
     weights = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bkgs,bksd->bkgd", weights.astype(v.dtype), v)

@@ -122,10 +122,38 @@ def shard_params(params: Any, mesh: Mesh, config: Qwen3Config) -> Any:
     )
 
 
+def ring_pspec() -> P:
+    """Group-commit ring ``[L, B, GROUP+1, num_kv_heads, head_dim]`` —
+    request slots on dp, kv_heads on tp (same GQA co-location as the paged
+    cache)."""
+    return P(None, "dp", None, "tp", None)
+
+
 def shard_kv_cache(kv_cache: Any, mesh: Mesh) -> Any:
-    return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, kv_cache_pspec(x.ndim))),
-        kv_cache,
+    from nano_vllm_candle_tpu.models.qwen3 import KVCache
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return KVCache(
+        k=put(kv_cache.k, kv_cache_pspec(kv_cache.k.ndim)),
+        v=put(kv_cache.v, kv_cache_pspec(kv_cache.v.ndim)),
+        k_scale=(
+            put(kv_cache.k_scale, kv_cache_pspec(kv_cache.k_scale.ndim))
+            if kv_cache.k_scale is not None else None
+        ),
+        v_scale=(
+            put(kv_cache.v_scale, kv_cache_pspec(kv_cache.v_scale.ndim))
+            if kv_cache.v_scale is not None else None
+        ),
+        ring_k=(
+            put(kv_cache.ring_k, ring_pspec())
+            if kv_cache.ring_k is not None else None
+        ),
+        ring_v=(
+            put(kv_cache.ring_v, ring_pspec())
+            if kv_cache.ring_v is not None else None
+        ),
     )
 
 

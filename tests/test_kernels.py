@@ -89,6 +89,23 @@ class TestPagedDecodeKernel:
             rtol=2e-2, atol=2e-2,
         )
 
+    def test_return_stats_matches_twin(self):
+        """(out, m, l) stats must match the XLA twin's — the contract the
+        ring-combine path (models/qwen3) relies on."""
+        q, k, v, bt, sl = make_case(seed=8)
+        sl = sl.at[1].set(0)  # include an inactive slot: l must be 0 there
+        scale = q.shape[-1] ** -0.5
+        ref_o, ref_m, ref_l = paged_decode_attention(
+            q, k, v, bt, sl, scale, return_stats=True
+        )
+        out, m, l = pallas_paged_decode_attention(
+            q, k, v, bt, sl, scale, interpret=True, return_stats=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_o), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(ref_m), rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(l), np.asarray(ref_l), rtol=2e-5)
+        np.testing.assert_array_equal(np.asarray(l[1]), 0.0)
+
 
 from nano_vllm_candle_tpu.ops.attention import packed_prefill_attention
 from nano_vllm_candle_tpu.kernels.flash_prefill import pallas_packed_prefill_attention
@@ -249,3 +266,75 @@ class TestQuantMatmulKernel:
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
             )
+
+
+# --------------------------------------------------------------------------
+# Group-commit kernel (kernels/kv_commit.py)
+# --------------------------------------------------------------------------
+
+from nano_vllm_candle_tpu.kernels.kv_commit import pallas_commit_groups  # noqa: E402
+from nano_vllm_candle_tpu.models.qwen3 import GROUP, _scatter_groups  # noqa: E402
+
+
+class TestCommitKernel:
+    def _case(self, quant=False, seed=0):
+        L, P, nkv, ps, hd, N = 2, 6, 2, 2 * GROUP, 32, 3
+        ks = jax.random.split(jax.random.key(seed), 4)
+        kc = jax.random.normal(ks[0], (L, P, nkv, ps, hd), jnp.float32)
+        vc = jax.random.normal(ks[1], (L, P, nkv, ps, hd), jnp.float32)
+        ku = jax.random.normal(ks[2], (N, nkv, GROUP, hd), jnp.float32)
+        vu = jax.random.normal(ks[3], (N, nkv, GROUP, hd), jnp.float32)
+        pages = jnp.asarray([1, 0, 4], jnp.int32)  # window 1 -> null page
+        offs = jnp.asarray([GROUP, 0, 0], jnp.int32)
+        return kc, vc, ku, vu, pages, offs
+
+    def test_matches_scatter(self):
+        kc, vc, ku, vu, pages, offs = self._case()
+        li = jnp.int32(1)
+        got_k, got_v = pallas_commit_groups(
+            kc, vc, ku, vu, li, pages, offs, interpret=True
+        )
+        li_col = jnp.full((3,), 1, jnp.int32)
+        ref_k = _scatter_groups(kc, ku, li_col, pages, offs)
+        ref_v = _scatter_groups(vc, vu, li_col, pages, offs)
+        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(ref_k))
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+
+    def test_untouched_regions_preserved(self):
+        kc, vc, ku, vu, pages, offs = self._case(seed=3)
+        before = np.asarray(kc).copy()
+        got_k, _ = pallas_commit_groups(
+            kc, vc, ku, vu, jnp.int32(0), pages, offs, interpret=True
+        )
+        after = np.asarray(got_k)
+        # layer 1 untouched entirely; page 2,3,5 of layer 0 untouched
+        np.testing.assert_array_equal(after[1], before[1])
+        for p in (2, 3, 5):
+            np.testing.assert_array_equal(after[0, p], before[0, p])
+        # window 2 landed at page 4 offset 0
+        np.testing.assert_array_equal(
+            after[0, 4, :, :GROUP], np.asarray(jnp.asarray(vu is not None and ku)[2])
+        )
+
+    def test_quantized_scales(self):
+        kc, vc, ku, vu, pages, offs = self._case(seed=4)
+        L, P, nkv, ps, hd = kc.shape
+        kc8 = jnp.zeros((L, P, nkv, ps, hd), jnp.int8)
+        vc8 = jnp.zeros_like(kc8)
+        ksc = jnp.zeros((L, P, nkv, ps), jnp.float32)
+        vsc = jnp.zeros_like(ksc)
+        ku8 = jnp.clip(jnp.round(ku * 10), -127, 127).astype(jnp.int8)
+        vu8 = jnp.clip(jnp.round(vu * 10), -127, 127).astype(jnp.int8)
+        ksu = jnp.abs(jax.random.normal(jax.random.key(9), (3, nkv, GROUP)))
+        vsu = ksu * 2
+        gk, gv, gks, gvs = pallas_commit_groups(
+            kc8, vc8, ku8, vu8, jnp.int32(0), pages, offs,
+            k_scale_cache=ksc, v_scale_cache=vsc,
+            k_scale_upd=ksu, v_scale_upd=vsu, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(gk[0, 4, :, :GROUP]), np.asarray(ku8[2])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(gks[0, 4, :, :GROUP]), np.asarray(ksu[2])
+        )
