@@ -53,7 +53,7 @@ def pallas_commit_groups(
     li: jax.Array,  # scalar layer index
     pages: jax.Array,  # [N] int32 target page (0 = null/no-op)
     offs: jax.Array,  # [N] int32 GROUP-aligned offset within the page
-    k_scale_cache: Optional[jax.Array] = None,  # [L, P, nkv, ps] f32
+    k_scale_cache: Optional[jax.Array] = None,  # [L, P, ps, nkv] f32
     v_scale_cache: Optional[jax.Array] = None,
     k_scale_upd: Optional[jax.Array] = None,  # [N, nkv, GROUP] f32
     v_scale_upd: Optional[jax.Array] = None,
@@ -75,7 +75,9 @@ def pallas_commit_groups(
         return (n, 0, 0)
 
     def scache_map(n, li_ref, pages_ref, goffs_ref):
-        return (li_ref[0], pages_ref[n], 0, goffs_ref[n])
+        # token-major scale plane [L, P, ps, nkv]: the (GROUP, nkv) window
+        # sits at block-row goffs of the ps axis
+        return (li_ref[0], pages_ref[n], goffs_ref[n], 0)
 
     upd_spec = pl.BlockSpec((1, nkv, G, hd), upd_map)
     cache_spec = pl.BlockSpec((1, 1, nkv, G, hd), cache_map)
@@ -89,10 +91,16 @@ def pallas_commit_groups(
     aliased = [k_cache, v_cache]
     kernel = _commit_kernel
     if quantized:
-        supd_spec = pl.BlockSpec((1, nkv, G), supd_map)
-        scache_spec = pl.BlockSpec((1, 1, nkv, G), scache_map)
+        # Updates arrive [N, nkv, G]; stored planes are token-major, so the
+        # window is (G, nkv) — trailing dims (G % 8 == 0, nkv == full dim)
+        # are Mosaic-legal for any page size.
+        supd_spec = pl.BlockSpec((1, G, nkv), supd_map)
+        scache_spec = pl.BlockSpec((1, 1, G, nkv), scache_map)
         in_specs += [supd_spec, supd_spec]
-        operands += [k_scale_upd, v_scale_upd]
+        operands += [
+            jnp.swapaxes(k_scale_upd, 1, 2),
+            jnp.swapaxes(v_scale_upd, 1, 2),
+        ]
         out_specs += [scache_spec, scache_spec]
         out_shapes += [
             jax.ShapeDtypeStruct(k_scale_cache.shape, k_scale_cache.dtype),

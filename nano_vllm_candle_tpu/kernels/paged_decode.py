@@ -90,10 +90,14 @@ def _decode_kernel(
         v = v_ref[0, 0]
         if quantized:
             # Dequant in f32 (matches the XLA twin), then to the compute
-            # dtype the surrounding model uses.
+            # dtype the surrounding model uses. Scale planes are stored
+            # token-major ([ps, nkv], commit-window tiling); one 2D VMEM
+            # transpose recovers the head-major broadcast shape.
             cdt = q.dtype if q.dtype != jnp.int8 else jnp.bfloat16
-            k = (k.astype(jnp.float32) * ks_ref[0, 0][..., None]).astype(cdt)
-            v = (v.astype(jnp.float32) * vs_ref[0, 0][..., None]).astype(cdt)
+            ks = jnp.swapaxes(ks_ref[0, 0], 0, 1)[..., None]  # [nkv, ps, 1]
+            vs = jnp.swapaxes(vs_ref[0, 0], 0, 1)[..., None]
+            k = (k.astype(jnp.float32) * ks).astype(cdt)
+            v = (v.astype(jnp.float32) * vs).astype(cdt)
 
         # scores[nkv, g, ps]
         s = jax.lax.dot_general(
@@ -151,7 +155,7 @@ def pallas_paged_decode_attention(
     seq_lens: jax.Array,  # [B] int32
     scale: float,
     *,
-    k_scale: Optional[jax.Array] = None,  # [L, P, nkv, ps] f32 (int8 KV)
+    k_scale: Optional[jax.Array] = None,  # [L, P, ps, nkv] f32 (int8 KV)
     v_scale: Optional[jax.Array] = None,
     layer_index: Optional[jax.Array] = None,
     interpret: bool = False,
@@ -212,8 +216,8 @@ def pallas_paged_decode_attention(
     operands = [qg, k_cache, v_cache]
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, 1, nkv, ps), scale_index_map),
-            pl.BlockSpec((1, 1, nkv, ps), scale_index_map),
+            pl.BlockSpec((1, 1, ps, nkv), scale_index_map),
+            pl.BlockSpec((1, 1, ps, nkv), scale_index_map),
         ]
         operands += [k_scale, v_scale]
 

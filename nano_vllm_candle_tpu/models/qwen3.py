@@ -85,9 +85,14 @@ class KVCache(NamedTuple):
 
     ``k``/``v``: ``[L, num_pages, num_kv_heads, page_size, head_dim]``
     (bf16/f32, or int8 when quantized). ``k_scale``/``v_scale``:
-    ``[L, num_pages, num_kv_heads, page_size]`` f32 per-stored-vector
+    ``[L, num_pages, page_size, num_kv_heads]`` f32 per-stored-vector
     scales, or None for unquantized caches. INT8 KV halves the HBM
     bandwidth per decoded token — the dominant cost at long context.
+    Scale planes are *token-major* (``[ps, nkv]``, opposite of the pages):
+    a GROUP commit then writes a ``(GROUP, nkv)`` window whose trailing
+    dims satisfy Mosaic's (8, 128)-divisible-or-full-dim block rule for any
+    ``page_size`` — the head-major ``[nkv, ps]`` order would need a
+    ``(nkv, GROUP)`` block, illegal whenever GROUP < min(ps, 128).
 
     Axis order is deliberate: pages are **head-major** (``[nkv, ps, hd]``),
     so a fetched page is directly the per-head ``[ps, hd]`` operand the
@@ -152,11 +157,13 @@ def init_kv_cache(
             ring_v=jnp.zeros(rshape, ring_dtype),
         )
     if jnp.dtype(dtype) == jnp.int8:
+        # Token-major scale planes [L, P, ps, nkv] (see KVCache docstring)
+        sshape = (shape[0], shape[1], shape[3], shape[2])
         return KVCache(
             jnp.zeros(shape, jnp.int8),
             jnp.zeros(shape, jnp.int8),
-            jnp.zeros(shape[:-1], jnp.float32),
-            jnp.zeros(shape[:-1], jnp.float32),
+            jnp.zeros(sshape, jnp.float32),
+            jnp.zeros(sshape, jnp.float32),
             **rings,
         )
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), **rings)
@@ -231,7 +238,7 @@ def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def _write_kv(
     kk: jax.Array,  # [L, P, nkv, ps, hd] full stacked cache (head-major pages)
     vv: jax.Array,
-    kcs: Optional[jax.Array],  # [L, P, nkv, ps] or None
+    kcs: Optional[jax.Array],  # [L, P, ps, nkv] or None
     vcs: Optional[jax.Array],
     k: jax.Array,  # [T, nkv, hd] new rows
     v: jax.Array,
@@ -263,8 +270,9 @@ def _write_kv(
     if kcs is not None:
         k, k_scale = _quantize_kv(k)  # scales [T, nkv]
         v, v_scale = _quantize_kv(v)
-        kcs = kcs.at[li, pages, heads, offs].set(k_scale, mode="drop")
-        vcs = vcs.at[li, pages, heads, offs].set(v_scale, mode="drop")
+        # token-major scale planes [L, P, ps, nkv]
+        kcs = kcs.at[li, pages, offs, heads].set(k_scale, mode="drop")
+        vcs = vcs.at[li, pages, offs, heads].set(v_scale, mode="drop")
     kk = kk.at[li, pages, heads, offs].set(k, mode="drop")
     vv = vv.at[li, pages, heads, offs].set(v, mode="drop")
     return kk, vv, kcs, vcs
@@ -282,11 +290,17 @@ def _write_kv(
 
 
 def _scatter_groups(cache, updates, li_col, pages, offs, *, promise=True):
-    """Scatter ``updates [N, nkv, GROUP(, hd)]`` into
-    ``cache [L, P, nkv, ps(, hd)]`` at rows ``(li, page, off)``.
-
-    Used for both page data (rank-5) and int8 scale planes (rank-4).
+    """Scatter GROUP windows into the paged arrays at rows
+    ``(li, page, off)``. Rank-5 page data: ``updates [N, nkv, GROUP, hd]``
+    into ``cache [L, P, nkv, ps, hd]``. Rank-4 int8 scale planes:
+    ``updates [N, nkv, GROUP]`` into the token-major
+    ``cache [L, P, ps, nkv]`` (transposed here).
     """
+    if cache.ndim == 4:
+        updates = jnp.swapaxes(updates, 1, 2)  # [N, GROUP, nkv]
+        off_operand_dim = 2
+    else:
+        off_operand_dim = 3
     n_win = updates.ndim - 1  # window dims in the update
     idx = jnp.stack(
         [li_col, pages.astype(jnp.int32), offs.astype(jnp.int32)], axis=-1
@@ -294,7 +308,7 @@ def _scatter_groups(cache, updates, li_col, pages, offs, *, promise=True):
     dnums = jax.lax.ScatterDimensionNumbers(
         update_window_dims=tuple(range(1, 1 + n_win)),
         inserted_window_dims=(0, 1),
-        scatter_dims_to_operand_dims=(0, 1, 3),
+        scatter_dims_to_operand_dims=(0, 1, off_operand_dim),
     )
     return jax.lax.scatter(
         cache, idx, updates.astype(cache.dtype), dnums,

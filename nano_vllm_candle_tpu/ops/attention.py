@@ -92,8 +92,9 @@ def paged_decode_attention(
       seq_lens: ``[B]`` int32 — tokens in context *including* the new token
         (whose k/v must already be written to the cache).
       scale: softmax scale.
-      k_scale/v_scale: ``[num_pages, num_kv_heads, page_size]`` per-vector
-        dequant scales for INT8 caches (None = unquantized).
+      k_scale/v_scale: ``[num_pages, page_size, num_kv_heads]`` per-vector
+        dequant scales for INT8 caches (None = unquantized); token-major,
+        see ``models/qwen3.KVCache``.
 
     Returns:
       ``[B, num_q_heads, head_dim]``.
@@ -107,8 +108,9 @@ def paged_decode_attention(
     k = jnp.take(k_cache, block_tables, axis=0)
     v = jnp.take(v_cache, block_tables, axis=0)
     if k_scale is not None:
-        ks = jnp.take(k_scale, block_tables, axis=0)[..., None]
-        vs = jnp.take(v_scale, block_tables, axis=0)[..., None]
+        # token-major scale planes: [B, W, ps, nkv] -> [B, W, nkv, ps, 1]
+        ks = jnp.swapaxes(jnp.take(k_scale, block_tables, axis=0), -1, -2)[..., None]
+        vs = jnp.swapaxes(jnp.take(v_scale, block_tables, axis=0), -1, -2)[..., None]
         compute_dtype = q.dtype if q.dtype != jnp.int8 else jnp.bfloat16
         k = (k.astype(jnp.float32) * ks).astype(compute_dtype)
         v = (v.astype(jnp.float32) * vs).astype(compute_dtype)

@@ -110,8 +110,11 @@ def qwen3_param_pspecs(config: Qwen3Config, params: Any) -> Any:
 
 
 def kv_cache_pspec(ndim: int = 5) -> P:
-    """``[L, pages, num_kv_heads, page_size(, head_dim)]`` — shard kv_heads
-    (axis 2) on tp; rank 4 covers the int8 per-vector scale arrays."""
+    """Rank 5: pages ``[L, pages, num_kv_heads, page_size, head_dim]`` —
+    shard kv_heads (axis 2) on tp. Rank 4: the token-major int8 scale
+    planes ``[L, pages, page_size, num_kv_heads]`` — kv_heads is axis 3."""
+    if ndim == 4:
+        return P(None, None, None, "tp")
     return P(None, None, "tp", *([None] * (ndim - 3)))
 
 

@@ -64,7 +64,8 @@ class TestPagedDecodeKernel:
 
     def test_int8_kv_matches_xla_reference(self):
         q, k, v, bt, sl = make_case(seed=7)
-        ps_shape = k.shape[:3]  # [P, nkv, ps]
+        P_, nkv_, ps_ = k.shape[:3]
+        ps_shape = (P_, ps_, nkv_)  # token-major scale planes [P, ps, nkv]
         keys = jax.random.split(jax.random.key(11), 2)
         kq = jnp.clip(jnp.round(k * 20), -127, 127).astype(jnp.int8)
         vq = jnp.clip(jnp.round(v * 20), -127, 127).astype(jnp.int8)
@@ -321,7 +322,7 @@ class TestCommitKernel:
         L, P, nkv, ps, hd = kc.shape
         kc8 = jnp.zeros((L, P, nkv, ps, hd), jnp.int8)
         vc8 = jnp.zeros_like(kc8)
-        ksc = jnp.zeros((L, P, nkv, ps), jnp.float32)
+        ksc = jnp.zeros((L, P, ps, nkv), jnp.float32)  # token-major
         vsc = jnp.zeros_like(ksc)
         ku8 = jnp.clip(jnp.round(ku * 10), -127, 127).astype(jnp.int8)
         vu8 = jnp.clip(jnp.round(vu * 10), -127, 127).astype(jnp.int8)
@@ -336,5 +337,5 @@ class TestCommitKernel:
             np.asarray(gk[0, 4, :, :GROUP]), np.asarray(ku8[2])
         )
         np.testing.assert_array_equal(
-            np.asarray(gks[0, 4, :, :GROUP]), np.asarray(ksu[2])
+            np.asarray(gks[0, 4, :GROUP, :]), np.asarray(ksu[2]).T
         )
