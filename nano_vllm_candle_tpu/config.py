@@ -190,6 +190,11 @@ class EngineConfig:
     # forward on device). Amortizes host<->device round trips; finished
     # sequences overshoot by < decode_burst discarded tokens.
     decode_burst: int = 16
+    # In-flight decode bursts (chained on device). Depth 2 hides dispatch
+    # latency; depth 3 also hides the device->host result transfer (each is
+    # ~a full RTT on a tunneled/remote chip). Extra depth costs one burst of
+    # pre-allocated KV blocks and potential overshoot per finished sequence.
+    pipeline_depth: int = 3
     # sampling compilation
     max_top_k: int = 64  # static bound for the on-device top-k mask
     # reproducibility

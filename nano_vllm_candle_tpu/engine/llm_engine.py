@@ -165,15 +165,21 @@ class LLMEngine:
 
     def run_until_done(self, collect=None) -> None:
         """Drive schedule→forward→postprocess until every request finishes,
-        with decode as a 2-deep chained pipeline when the runner supports it
-        (burst t+1 dispatched from burst t's on-device tokens before t's
-        results are fetched — the host round trip never stalls the chip).
-        Callable from any engine state; ``bench.py`` uses it after timing the
-        prefill step separately."""
+        with decode as a chained pipeline when the runner supports it: up to
+        ``pipeline_depth`` bursts are in flight, each continuing from the
+        previous burst's on-device tokens, so neither the dispatch nor the
+        device→host fetch round trip ever stalls the chip (one in-flight
+        burst hides dispatch latency; a second hides the result transfer —
+        both ~a full RTT over a tunneled chip). Callable from any engine
+        state; ``bench.py`` uses it after timing the prefill step
+        separately."""
+        from collections import deque
+
         pipelined = getattr(self.model_runner, "supports_chaining", False)
-        pending = None  # (seqs, token_future)
-        while not self.is_finished() or pending is not None:
-            if pending is None:
+        depth = max(1, getattr(self.model_runner, "pipeline_depth", 2))
+        pending: deque = deque()  # (seqs, token_future), oldest first
+        while not self.is_finished() or pending:
+            if not pending:
                 seqs, is_prefill = self.scheduler.schedule()
                 if not seqs:
                     continue
@@ -184,35 +190,45 @@ class LLMEngine:
                     if collect is not None:
                         collect(seqs)
                     continue
-                pending = (seqs, self.model_runner.dispatch_decode(seqs, chained=False))
-                continue
+                pending.append(
+                    (seqs, self.model_runner.dispatch_decode(seqs, chained=False))
+                )
 
-            seqs_p, fut = pending
+            # Top up the chain BEFORE fetching, so the device always has
+            # queued work while the host blocks on the oldest result.
+            seqs_p = pending[0][0]
             K = self.scheduler.decode_burst
             bm = self.scheduler.block_manager
-            # Sequences that finished during an already-fetched burst still
-            # occupy rows (their chained tokens are discarded); only live
-            # ones need blocks or justify another burst.
-            active = [s for s in seqs_p if not s.is_finished]
-            can_chain = (
-                bool(active)
-                and not self.scheduler.waiting
-                and bm.can_extend_batch(active, 2 * K)
-                and any(
-                    seq.max_tokens - seq.num_completion_tokens > K for seq in active
+            while len(pending) < depth:
+                # Sequences that finished during an already-fetched burst
+                # still occupy rows (their chained tokens are discarded);
+                # only live ones need blocks or justify another burst.
+                active = [s for s in seqs_p if not s.is_finished]
+                ahead = len(pending) * K  # tokens already in flight
+                can_chain = (
+                    bool(active)
+                    and not self.scheduler.waiting
+                    and bm.can_extend_batch(active, ahead + K)
+                    and any(
+                        seq.max_tokens - seq.num_completion_tokens > ahead
+                        for seq in active
+                    )
                 )
-            )
-            fut2 = None
-            if can_chain:
+                if not can_chain:
+                    break
                 for seq in active:
-                    bm.extend(seq, 2 * K)
-                fut2 = self.model_runner.dispatch_decode(seqs_p, chained=True)
+                    bm.extend(seq, ahead + K)
+                pending.append(
+                    (seqs_p, self.model_runner.dispatch_decode(
+                        seqs_p, chained=True, inflight=len(pending)))
+                )
+
+            seqs_p, fut = pending.popleft()
             tokens = self.model_runner.fetch_decode(fut)
             accepted = self.scheduler.post_process(seqs_p, tokens)
             self._account(False, seqs_p, accepted)
             if collect is not None:
                 collect(seqs_p)
-            pending = (seqs_p, fut2) if fut2 is not None else None
 
     def _account(self, is_prefill: bool, seqs, accepted: int) -> None:
         self.metrics["steps"] += 1

@@ -334,18 +334,25 @@ class JaxModelRunner:
         host_tokens = np.asarray(jax.device_get(tokens))  # [B]
         return [[int(t)] for t in host_tokens[: len(seqs)]]
 
-    # -- pipelined decode (2-deep: dispatch burst t+1 before fetching t) ------
+    # -- pipelined decode (dispatch bursts t+1.. before fetching t) -----------
 
     supports_chaining = True
 
-    def dispatch_decode(self, seqs: List[Sequence], *, chained: bool):
+    @property
+    def pipeline_depth(self) -> int:
+        return self.engine_config.pipeline_depth
+
+    def dispatch_decode(self, seqs: List[Sequence], *, chained: bool,
+                        inflight: int = 1):
         """Dispatch one decode burst without waiting for results. In chained
         mode the burst's initial tokens are the previous burst's on-device
-        output, and host-side positions/lengths are advanced by one burst."""
+        output, and host-side positions/lengths are advanced by the
+        ``inflight`` bursts already dispatched but not yet fetched (the
+        engine's pipeline depth minus one at steady state)."""
         assert self.block_manager is not None
         step = jnp.int32(self._step_counter)
         self._step_counter += 1
-        offset = self.decode_burst if chained else 0
+        offset = self.decode_burst * inflight if chained else 0
         seq_i32, seq_f32, use_top_k, use_top_p = self._seq_arrays(
             seqs, decode=True, pos_offset=offset
         )

@@ -28,7 +28,7 @@ def tiny_params():
 def reference_greedy(tiny_params):
     """Token-by-token greedy continuation via full recompute."""
 
-    def _gen(prompt, n):
+    def _gen(prompt, n, ignore_eos=False):
         tokens = list(prompt)
         for _ in range(n):
             logits = qwen3.forward_full(
@@ -36,7 +36,7 @@ def reference_greedy(tiny_params):
             )
             nxt = int(jnp.argmax(logits[-1]))
             tokens.append(nxt)
-            if nxt == CFG.eos_token_id:
+            if nxt == CFG.eos_token_id and not ignore_eos:
                 break
         return tokens[len(prompt):]
 
@@ -139,6 +139,39 @@ class TestSamplingIntegration:
         )
         assert len(outs[0].token_ids) == 3
         assert len(outs[1].token_ids) == 5
+
+
+class TestPipelineDepth:
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    def test_depths_agree_with_reference(self, tiny_params, reference_greedy, depth):
+        """Chained-burst pipelining is a pure latency optimization: any
+        depth must produce the same greedy tokens. decode_burst=2 with
+        max_tokens=14 forces ~7 bursts so deep chains actually form."""
+        llm = make_llm(tiny_params, decode_burst=2, pipeline_depth=depth)
+        prompts = [[3, 1, 4, 1, 5, 9], [2, 7]]
+        sp = SamplingParams(temperature=0.0, max_tokens=14, ignore_eos=True)
+        outs = llm.generate(prompts, sp)
+        for prompt, out in zip(prompts, outs):
+            assert out.token_ids == reference_greedy(prompt, 14, ignore_eos=True), (
+                depth, prompt)
+
+    def test_deep_pipeline_under_tight_blocks(self, tiny_params, reference_greedy):
+        """Chain top-up must respect block availability (can_extend_batch
+        over the whole in-flight window) and fall back to shallow pipelining
+        without corrupting outputs."""
+        llm = make_llm(
+            tiny_params,
+            max_num_seqs=2,
+            num_kvcache_blocks=6,
+            kvcache_block_size=8,
+            decode_burst=2,
+            pipeline_depth=4,
+        )
+        prompts = [[3, 1, 4, 1, 5], [2, 7, 1, 8]]
+        sp = SamplingParams(temperature=0.0, max_tokens=14, ignore_eos=True)
+        outs = llm.generate(prompts, sp)
+        for prompt, out in zip(prompts, outs):
+            assert out.token_ids == reference_greedy(prompt, 14, ignore_eos=True), prompt
 
 
 class TestPreemptionWithRealRunner:
