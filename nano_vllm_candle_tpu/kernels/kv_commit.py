@@ -112,7 +112,7 @@ def pallas_commit_groups(
     n_prefetch = 3  # li, pages, goffs
     n_upd = len(operands)
     in_specs = in_specs + [
-        pl.BlockSpec(memory_space=pltpu.ANY) for _ in aliased
+        pl.BlockSpec(memory_space=pl.ANY) for _ in aliased
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,

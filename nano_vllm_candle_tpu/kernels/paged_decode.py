@@ -88,16 +88,20 @@ def _decode_kernel(
         q = q_ref[0]  # [nkv, g, hd] — native dtype into the MXU
         k = k_ref[0, 0]  # [nkv, ps, hd]
         v = v_ref[0, 0]
+        ks = vs = None
         if quantized:
-            # Dequant in f32 (matches the XLA twin), then to the compute
-            # dtype the surrounding model uses. Scale planes are stored
-            # token-major ([ps, nkv], commit-window tiling); one 2D VMEM
-            # transpose recovers the head-major broadcast shape.
+            # int8 values are exact in bf16 — bare casts, then fold the
+            # per-vector scales into the small post-matmul tensors (k-scale
+            # into scores, v-scale into p; matches the XLA twin,
+            # ops/attention.py). Dequantizing whole [nkv, ps, hd] pages in
+            # f32 cost ~35% of the decode step at batch 64. Scale planes
+            # are token-major ([ps, nkv], commit-window tiling); one small
+            # 2D VMEM transpose recovers the head-major broadcast shape.
             cdt = q.dtype if q.dtype != jnp.int8 else jnp.bfloat16
-            ks = jnp.swapaxes(ks_ref[0, 0], 0, 1)[..., None]  # [nkv, ps, 1]
-            vs = jnp.swapaxes(vs_ref[0, 0], 0, 1)[..., None]
-            k = (k.astype(jnp.float32) * ks).astype(cdt)
-            v = (v.astype(jnp.float32) * vs).astype(cdt)
+            ks = jnp.swapaxes(ks_ref[0, 0], 0, 1)  # [nkv, ps] f32
+            vs = jnp.swapaxes(vs_ref[0, 0], 0, 1)
+            k = k.astype(cdt)
+            v = v.astype(cdt)
 
         # scores[nkv, g, ps]
         s = jax.lax.dot_general(
@@ -105,6 +109,8 @@ def _decode_kernel(
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
+        if ks is not None:
+            s = s * ks[:, None, :]
 
         token_idx = w * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (nkv, g, page_size), 2
@@ -123,8 +129,11 @@ def _decode_kernel(
         m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
         l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
+        p3 = p.reshape(nkv, g, page_size)
+        if vs is not None:
+            p3 = p3 * vs[:, None, :]
         pv = jax.lax.dot_general(
-            p.reshape(nkv, g, page_size).astype(v.dtype), v,
+            p3.astype(v.dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).reshape(nq, hd)

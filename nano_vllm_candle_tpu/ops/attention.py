@@ -107,14 +107,23 @@ def paged_decode_attention(
     # Gather each sequence's pages: [B, W, nkv, page_size, hd] -> [B, nkv, S, hd]
     k = jnp.take(k_cache, block_tables, axis=0)
     v = jnp.take(v_cache, block_tables, axis=0)
-    if k_scale is not None:
-        # token-major scale planes: [B, W, ps, nkv] -> [B, W, nkv, ps, 1]
-        ks = jnp.swapaxes(jnp.take(k_scale, block_tables, axis=0), -1, -2)[..., None]
-        vs = jnp.swapaxes(jnp.take(v_scale, block_tables, axis=0), -1, -2)[..., None]
-        compute_dtype = q.dtype if q.dtype != jnp.int8 else jnp.bfloat16
-        k = (k.astype(jnp.float32) * ks).astype(compute_dtype)
-        v = (v.astype(jnp.float32) * vs).astype(compute_dtype)
     S = W * page_size
+    ks = vs = None
+    if k_scale is not None:
+        # INT8 cache. int8 values are exactly representable in bf16, so a
+        # bare cast is lossless; the per-vector scales FOLD into the tiny
+        # post-matmul tensors instead of dequantizing whole pages:
+        # k-scale rides the scores (s_t *= ks_t), v-scale rides the softmax
+        # weights (p_t *= vs_t) — algebraically identical, far less VPU
+        # traffic in the Pallas twin (kernels/paged_decode.py mirrors this).
+        # token-major scale planes: [B, W, ps, nkv] -> [B, nkv, W*ps]
+        ks = jnp.take(k_scale, block_tables, axis=0).transpose(0, 3, 1, 2)
+        vs = jnp.take(v_scale, block_tables, axis=0).transpose(0, 3, 1, 2)
+        ks = ks.reshape(B, nkv, S)
+        vs = vs.reshape(B, nkv, S)
+        compute_dtype = q.dtype if q.dtype != jnp.int8 else jnp.bfloat16
+        k = k.astype(compute_dtype)
+        v = v.astype(compute_dtype)
     k = jnp.swapaxes(k, 1, 2).reshape(B, nkv, S, hd)
     v = jnp.swapaxes(v, 1, 2).reshape(B, nkv, S, hd)
 
@@ -122,6 +131,8 @@ def paged_decode_attention(
     scores = jnp.einsum(
         "bkgd,bksd->bkgs", qg, k, preferred_element_type=jnp.float32
     ) * scale
+    if ks is not None:
+        scores = scores * ks[:, :, None, :]
 
     token_idx = jnp.arange(S, dtype=jnp.int32)
     mask = token_idx[None, :] < seq_lens[:, None]  # [B, S]
@@ -137,6 +148,8 @@ def paged_decode_attention(
         p = jnp.where(mask[:, None, None, :], p, 0.0)
         l = jnp.sum(p, axis=-1)
         safe_l = jnp.where(l == 0.0, 1.0, l)
+        if vs is not None:
+            p = p * vs[:, :, None, :]
         out = jnp.einsum("bkgs,bksd->bkgd", p.astype(v.dtype), v)
         out = out / safe_l[..., None].astype(v.dtype)
         return (
@@ -146,6 +159,8 @@ def paged_decode_attention(
         )
 
     weights = jax.nn.softmax(scores, axis=-1)
+    if vs is not None:
+        weights = weights * vs[:, :, None, :]
     out = jnp.einsum("bkgs,bksd->bkgd", weights.astype(v.dtype), v)
     # q.dtype, not v.dtype: the KV cache may be wider/narrower than the
     # activations (e.g. f32 cache under bf16 weights) and the layer-scan
