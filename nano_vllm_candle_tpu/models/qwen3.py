@@ -440,6 +440,13 @@ def _combine_attention(out1, m1, l1, out2_u, m2, l2):
 
 RING_IMPLS = ("pallas", "xla_ring")
 
+# Perf-forensics switch (dev tooling, used by profile_decode.py --ablate):
+# stage names added here are SKIPPED in the decode layer so their cost can
+# be measured by difference on real hardware. Read at trace time — set it
+# before jit and don't mix ablations in one process. Never set in serving.
+ABLATE: frozenset = frozenset()
+_ABLATABLE = ("norms", "qknorm", "rope", "ring_write", "commit", "ring_attn")
+
 
 def _decoder_layer(
     hidden: jax.Array,
@@ -467,7 +474,12 @@ def _decoder_layer(
     def proj(name: str):
         return lp[name] if name in lp else qlp[name]
 
-    normed, residual = rms_norm(hidden, lp["input_layernorm"], c.rms_norm_eps, residual)
+    if "norms" in ABLATE:
+        normed, residual = hidden, hidden
+    else:
+        normed, residual = rms_norm(
+            hidden, lp["input_layernorm"], c.rms_norm_eps, residual
+        )
 
     # QKV projections (column-parallel under TP; plain or int-quantized);
     # attn_impl doubles as the matmul impl switch: "pallas" routes quantized
@@ -484,9 +496,11 @@ def _decoder_layer(
     v = pmm(normed, "v_proj").reshape(T, c.num_key_value_heads, c.head_dim)
 
     # Per-head RMSNorm before RoPE (qwen3.rs:224-232)
-    q = head_rms_norm(q, lp["q_norm"], c.rms_norm_eps)
-    k = head_rms_norm(k, lp["k_norm"], c.rms_norm_eps)
-    q, k = apply_rope_positions(q, k, batch.positions, c.rope_theta)
+    if "qknorm" not in ABLATE:
+        q = head_rms_norm(q, lp["q_norm"], c.rms_norm_eps)
+        k = head_rms_norm(k, lp["k_norm"], c.rms_norm_eps)
+    if "rope" not in ABLATE:
+        q, k = apply_rope_positions(q, k, batch.positions, c.rope_theta)
 
     ring = attn_impl in RING_IMPLS
     ps = kk.shape[3]
@@ -523,15 +537,17 @@ def _decoder_layer(
         # 1. Current token -> its ring row (whole-tile write).
         rslot = jnp.where(n > 0, batch.positions % GROUP, GROUP)
         bidx = jnp.arange(B, dtype=jnp.int32)
-        rk = rk.at[li, bidx, rslot].set(k, mode="drop")
-        rv = rv.at[li, bidx, rslot].set(v, mode="drop")
+        if "ring_write" not in ABLATE:
+            rk = rk.at[li, bidx, rslot].set(k, mode="drop")
+            rv = rv.at[li, bidx, rslot].set(v, mode="drop")
         # 2. Completed group (if n crossed a boundary) -> page.
         rk_l = jax.lax.dynamic_index_in_dim(rk, li, 0, keepdims=False)
         rv_l = jax.lax.dynamic_index_in_dim(rv, li, 0, keepdims=False)
-        kk, vv, kcs, vcs = _commit_decode_group(
-            kk, vv, kcs, vcs, rk_l, rv_l, li, n, batch.block_tables, ps,
-            attn_impl == "pallas",
-        )
+        if "commit" not in ABLATE:
+            kk, vv, kcs, vcs = _commit_decode_group(
+                kk, vv, kcs, vcs, rk_l, rv_l, li, n, batch.block_tables, ps,
+                attn_impl == "pallas",
+            )
         # 3. Attention = paged part (committed prefix) + ring tail, merged.
         committed = (n // GROUP) * GROUP
         qg = q.reshape(B, c.num_key_value_heads, c.num_q_per_kv, c.head_dim)
@@ -559,13 +575,18 @@ def _decoder_layer(
                 q, k_l, v_l, batch.block_tables, committed, scale,
                 k_scale=kcs_l, v_scale=vcs_l, return_stats=True,
             )
-        out2_u, m2, l2 = _ring_attention(qg, rk_l, rv_l, n, committed, scale)
-        shp = (B, c.num_key_value_heads, c.num_q_per_kv)
-        merged = _combine_attention(
-            out1.reshape(*shp, c.head_dim), m1.reshape(shp), l1.reshape(shp),
-            out2_u, m2, l2,
-        )
-        attn_out = merged.reshape(B, c.num_attention_heads, c.head_dim).astype(q.dtype)
+        if "ring_attn" in ABLATE:
+            attn_out = out1.astype(hidden.dtype)
+        else:
+            out2_u, m2, l2 = _ring_attention(qg, rk_l, rv_l, n, committed, scale)
+            shp = (B, c.num_key_value_heads, c.num_q_per_kv)
+            merged = _combine_attention(
+                out1.reshape(*shp, c.head_dim), m1.reshape(shp), l1.reshape(shp),
+                out2_u, m2, l2,
+            )
+            attn_out = merged.reshape(
+                B, c.num_attention_heads, c.head_dim
+            ).astype(hidden.dtype)
     else:
         kk, vv, kcs, vcs = _write_kv(
             kk, vv, kcs, vcs, k, v, batch.slot_mapping, li
@@ -591,9 +612,12 @@ def _decoder_layer(
     # Row-parallel o_proj (all-reduce inserted by GSPMD under TP)
     hidden = pmm(attn_out.reshape(T, c.q_size), "o_proj")
 
-    normed, residual = rms_norm(
-        hidden, lp["post_attention_layernorm"], c.rms_norm_eps, residual
-    )
+    if "norms" in ABLATE:
+        normed = hidden
+    else:
+        normed, residual = rms_norm(
+            hidden, lp["post_attention_layernorm"], c.rms_norm_eps, residual
+        )
     gate = pmm(normed, "gate_proj")
     up = pmm(normed, "up_proj")
     hidden = pmm(jax.nn.silu(gate) * up, "down_proj")

@@ -32,7 +32,17 @@ def main():
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--seq-len", type=int, default=200)
     ap.add_argument("--attn", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument(
+        "--ablate", default="",
+        help="comma-separated decode-layer stages to SKIP (cost-by-"
+             f"difference forensics): any of {qwen3._ABLATABLE}",
+    )
     args = ap.parse_args()
+    if args.ablate:
+        qwen3.ABLATE = frozenset(args.ablate.split(","))
+        bad = qwen3.ABLATE - set(qwen3._ABLATABLE)
+        assert not bad, f"unknown ablate stages {bad}"
+        print(f"# ABLATING {sorted(qwen3.ABLATE)}")
 
     cfg = Qwen3Config.qwen3_0_6b()
     B, ps, K = args.batch, args.page_size, args.steps
