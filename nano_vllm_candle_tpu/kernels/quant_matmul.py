@@ -74,6 +74,116 @@ def _kernel(li_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, packe
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _dense_kernel_acc(li_ref, x_ref, w_ref, o_ref, acc_ref, *, n_groups: int):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jnp.dot(
+        x_ref[...], w_ref[0], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(g == n_groups - 1)
+    def _emit():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _dense_kernel_tile(li_ref, x_ref, w_ref, o_ref):
+    # transposed storage [out_tile, d_in]: full contraction per grid step,
+    # each step owns one output tile — no accumulator carry.
+    o_ref[...] = jax.lax.dot_general(
+        x_ref[...], w_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _tile_of(n: int, want: int = 512) -> int:
+    for t in (want, 256, 128):
+        if n % t == 0:
+            return t
+    return n
+
+
+def dense_supported(w: jax.Array, T: int) -> bool:
+    """Whether the stacked plain-bf16 kernel can run this weight/batch."""
+    return (
+        w.ndim == 3 and T <= MAX_T
+        and w.shape[-1] % 128 == 0 and w.shape[-2] % 128 == 0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("transposed", "interpret"))
+def pallas_dense_matmul(
+    x: jax.Array,  # [T, d_in]
+    w: jax.Array,  # [L, d_in, out] or [L, out, d_in] (transposed)
+    layer_index: jax.Array,
+    *,
+    transposed: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """``x @ w[layer_index]`` for plain stacked decode weights.
+
+    XLA's small-batch dense matmuls stream weights at only ~175–330 GB/s on
+    v5e and degrade further as the batch grows (BASELINE.md machine
+    calibration); this kernel holds ~33 us per 12.6 MB projection from
+    batch 8 through 128 (the MXU weight-load floor + DMA), measured ~1.7x
+    faster end-to-end at batch 64. Like ``pallas_quant_matmul``, the FULL
+    ``[L, ...]`` stack is taken with the layer resolved in the BlockSpec
+    index map so a ``lax.scan`` never materializes a sliced copy.
+
+    Transposed ([L, out, d_in]) weights tile the output dim (contiguous
+    leading-axis blocks, full contraction per step, no accumulator); normal
+    ([L, d_in, out]) weights tile the contraction dim with an f32 VMEM
+    accumulator.
+    """
+    T, d_in = x.shape
+    L = w.shape[0]
+    li = jnp.asarray(layer_index, jnp.int32).reshape(1)
+    if transposed:
+        out, d_in_w = w.shape[1], w.shape[2]
+        assert d_in_w == d_in, (w.shape, x.shape)
+        OT = _tile_of(out)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(out // OT,),
+            in_specs=[
+                pl.BlockSpec((T, d_in), lambda t, li_ref: (0, 0)),
+                pl.BlockSpec((1, OT, d_in), lambda t, li_ref: (li_ref[0], t, 0)),
+            ],
+            out_specs=pl.BlockSpec((T, OT), lambda t, li_ref: (0, t)),
+        )
+        kernel = _dense_kernel_tile
+    else:
+        d_in_w, out = w.shape[1], w.shape[2]
+        assert d_in_w == d_in, (w.shape, x.shape)
+        gs = _tile_of(d_in, 256)
+        G = d_in // gs
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((T, gs), lambda g, li_ref: (0, g)),
+                pl.BlockSpec((1, gs, out), lambda g, li_ref: (li_ref[0], g, 0)),
+            ],
+            out_specs=pl.BlockSpec((T, out), lambda g, li_ref: (0, 0)),
+            scratch_shapes=[pltpu.VMEM((T, out), jnp.float32)],
+        )
+        kernel = functools.partial(_dense_kernel_acc, n_groups=G)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, out), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(li, x, w)
+
+
 def supported(qw: Dict[str, jax.Array], T: int) -> bool:
     """Whether this kernel can run the given quantized weight and batch.
 

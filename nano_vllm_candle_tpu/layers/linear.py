@@ -151,15 +151,28 @@ def matmul(
     after the shrunken HBM read.
 
     ``impl="pallas"`` routes quantized weights through the hand-tuned fused
-    dequant-matmul kernel (``kernels/quant_matmul.py``) on supported shapes;
-    plain weights always use XLA (a dense bf16 matmul is already optimal).
+    dequant-matmul kernel and small-batch plain weights through the stacked
+    dense kernel (``kernels/quant_matmul.py``) on supported shapes — XLA's
+    own dense matmul streams weights at a fraction of the achievable rate
+    at decode batch sizes (BASELINE.md machine calibration) and stays the
+    prefill/fallback path.
 
-    Quantized weights may be the FULL layer stack (leading ``L`` axis) with
-    ``layer_index`` selecting the layer — mandatory for the pallas path
-    inside ``lax.scan`` (a pre-sliced pallas operand costs a full-weight HBM
-    copy; the kernel indexes the stack in its BlockSpec instead).
+    Weights (plain or quantized) may be the FULL layer stack (leading ``L``
+    axis) with ``layer_index`` selecting the layer — mandatory for the
+    pallas paths inside ``lax.scan`` (a pre-sliced pallas operand costs a
+    full-weight HBM copy; the kernels index the stack in their BlockSpecs
+    instead).
     """
     if not is_quantized(w):
+        if w.ndim == 3:  # stacked [L, ...] plain weights
+            assert layer_index is not None, "stacked plain weights need layer_index"
+            from nano_vllm_candle_tpu.kernels import quant_matmul
+
+            if impl == "pallas" and quant_matmul.dense_supported(w, x.shape[0]):
+                return quant_matmul.pallas_dense_matmul(
+                    x, w, layer_index, transposed=transposed
+                )
+            w = jax.lax.dynamic_index_in_dim(w, layer_index, 0, keepdims=False)
         if transposed:
             return jax.lax.dot_general(
                 x, w, dimension_numbers=(((1,), (1,)), ((), ())),

@@ -488,8 +488,9 @@ def _decoder_layer(
 
     def pmm(xin, name: str):
         # transposed ([out, in]) storage only applies to plain weights
-        t = name in TRANSPOSED_PROJS and name in lp
-        return matmul(xin, proj(name), mm, li, transposed=t)
+        w = proj(name)
+        t = name in TRANSPOSED_PROJS and not isinstance(w, dict)
+        return matmul(xin, w, mm, li, transposed=t)
 
     q = pmm(normed, "q_proj").reshape(T, c.num_attention_heads, c.head_dim)
     k = pmm(normed, "k_proj").reshape(T, c.num_key_value_heads, c.head_dim)
@@ -649,14 +650,25 @@ def forward(
     hidden = params["embed_tokens"][batch.token_ids]  # [T, H]
     residual = jnp.zeros_like(hidden)
 
-    # Quantized projections stay OUT of the scan xs (full stacks captured by
-    # closure, indexed per layer): scan-slicing them would hand pre-sliced
-    # operands to the pallas dequant-matmul, which XLA materializes as a
-    # full-weight HBM copy per layer (kernels/quant_matmul.py).
-    from nano_vllm_candle_tpu.layers.linear import is_quantized
+    # Projections stay OUT of the scan xs (full stacks captured by closure,
+    # indexed per layer): scan-slicing them would hand pre-sliced operands
+    # to the pallas matmul kernels, which XLA materializes as a full-weight
+    # HBM copy per layer (kernels/quant_matmul.py). Quantized stacks always;
+    # plain stacks too on the pallas path (the stacked dense kernel), while
+    # the XLA path keeps them as scan xs (free per-layer slices).
+    from nano_vllm_candle_tpu.layers.linear import _QUANT_TARGETS, is_quantized
 
-    xs_layers = {k: v for k, v in params["layers"].items() if not is_quantized(v)}
-    quant_layers = {k: v for k, v in params["layers"].items() if is_quantized(v)}
+    def stays_stacked(name, v):
+        return is_quantized(v) or (
+            attn_impl == "pallas" and name in _QUANT_TARGETS
+        )
+
+    xs_layers = {
+        k: v for k, v in params["layers"].items() if not stays_stacked(k, v)
+    }
+    quant_layers = {
+        k: v for k, v in params["layers"].items() if stays_stacked(k, v)
+    }
 
     if attn_impl in RING_IMPLS and kv_cache.ring_k is None:
         raise ValueError(

@@ -339,3 +339,43 @@ class TestCommitKernel:
         np.testing.assert_array_equal(
             np.asarray(gks[0, 4, :GROUP, :]), np.asarray(ksu[2]).T
         )
+
+
+class TestDenseMatmulKernel:
+    """Stacked plain-bf16 decode matmul (kernels/quant_matmul.py:
+    pallas_dense_matmul) vs jnp.dot."""
+
+    @pytest.mark.parametrize("transposed", [False, True])
+    @pytest.mark.parametrize("T", [8, 64])
+    def test_matches_xla(self, transposed, T):
+        from nano_vllm_candle_tpu.kernels.quant_matmul import (
+            dense_supported, pallas_dense_matmul)
+
+        keys = jax.random.split(jax.random.key(0), 2)
+        L, d_in, out = 3, 256, 384
+        x = jax.random.normal(keys[0], (T, d_in), jnp.float32)
+        shape = (L, out, d_in) if transposed else (L, d_in, out)
+        w = jax.random.normal(keys[1], shape, jnp.float32) * 0.05
+        assert dense_supported(w, T)
+        for li in (0, 2):
+            got = pallas_dense_matmul(
+                x, w, jnp.int32(li), transposed=transposed, interpret=True)
+            wl = w[li].T if transposed else w[li]
+            ref = jnp.dot(x, wl, preferred_element_type=jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_matmul_routes_stacked_plain(self):
+        """layers.linear.matmul with a stacked plain weight + layer_index
+        must agree between impl='pallas' and impl='xla'."""
+        from nano_vllm_candle_tpu.layers.linear import matmul
+
+        keys = jax.random.split(jax.random.key(1), 2)
+        x = jax.random.normal(keys[0], (8, 128), jnp.float32)
+        w = jax.random.normal(keys[1], (2, 128, 256), jnp.float32)
+        got = matmul(x, w, "xla", jnp.int32(1))
+        ref = jnp.dot(x, w[1])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+        wt = jnp.swapaxes(w, 1, 2)
+        got_t = matmul(x, wt, "xla", jnp.int32(1), transposed=True)
+        np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref), rtol=1e-6)
