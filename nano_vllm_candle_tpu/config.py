@@ -179,6 +179,11 @@ class EngineConfig:
     quant_group_size: int = 128  # sub-channel group along the contraction dim
     prefill_buckets: Sequence[int] = DEFAULT_PREFILL_BUCKETS
     use_pallas_kernels: bool = True  # pallas kernels on TPU, XLA fallback elsewhere
+    # Fuse q/k/v -> qkv_proj and gate/up -> gate_up_proj stacks (the
+    # reference's load-time fusion, qwen3.rs:171,310): one weight stream +
+    # one dispatch per fused group. Applied only when mesh is None (a
+    # contiguous tp split of a fused axis would mix segments).
+    fuse_projections: bool = True
     # Explicit attention impl override: "pallas" (group-commit ring + pallas
     # kernels), "xla_ring" (ring + XLA twins; CPU-testable), "xla" (direct
     # per-token cache writes, the numerics reference). None = auto.

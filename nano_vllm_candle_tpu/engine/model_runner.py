@@ -75,6 +75,10 @@ class JaxModelRunner:
             ring_batch=engine_config.max_num_seqs if self.ring_mode else None,
             ring_dtype=jnp.dtype(engine_config.dtype),
         )
+        if mesh is None and engine_config.fuse_projections:
+            from nano_vllm_candle_tpu.layers.linear import fuse_qwen3_params
+
+            self.params = fuse_qwen3_params(self.params)
         if mesh is not None:
             from nano_vllm_candle_tpu.parallel.mesh import (
                 shard_kv_cache,

@@ -52,21 +52,24 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 def _decode_kernel(
     # scalar prefetch
     li_ref,  # [1] int32 layer index into the stacked cache
-    seq_lens_ref,  # [B] int32
+    seq_lens_ref,  # [B] int32 (committed length in ring mode)
     block_tables_ref,  # [B, W] int32
-    # blocks
-    q_ref,  # [1, nkv, g, hd]
-    k_ref,  # [1, 1, nkv, ps, hd]
-    v_ref,  # [1, 1, nkv, ps, hd]
-    *rest,  # [ks_ref, vs_ref,] o_ref [, mo_ref, lo_ref], m/l/acc scratch
+    *args,  # [total_lens_ref,] blocks..., outputs..., scratch...
     scale: float,
     page_size: int,
     num_pages_per_seq: int,
     quantized: bool,
     return_stats: bool,
+    ring: bool,
 ):
+    if ring:
+        total_lens_ref, *args = args
+    q_ref, k_ref, v_ref, *rest = args
+    # q_ref [1, nkv, g, hd]; k/v_ref [1, 1, nkv, ps, hd]
     if quantized:
         ks_ref, vs_ref, *rest = rest
+    if ring:
+        rk_ref, rv_ref, *rest = rest  # [1, 1, GROUP, nkv, hd]
     if return_stats:
         o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = rest
     else:
@@ -139,7 +142,44 @@ def _decode_kernel(
         ).reshape(nq, hd)
         acc_ref[...] = acc_ref[...] * alpha + pv
 
-    @pl.when(w == num_pages_per_seq - 1)
+    if ring:
+        @pl.when(w == num_pages_per_seq)
+        def _ring_tail():
+            # Uncommitted tail: ring row j holds position committed + j in
+            # the ACTIVATION dtype (no dequant scales even under int8 KV).
+            _, nkv, g, hd = q_ref.shape
+            nq = nkv * g
+            G = rk_ref.shape[2]
+            q = q_ref[0]
+            k = jnp.swapaxes(rk_ref[0, 0], 0, 1)  # [nkv, GROUP, hd]
+            v = jnp.swapaxes(rv_ref[0, 0], 0, 1)
+            s = jax.lax.dot_general(
+                q, k.astype(q.dtype),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [nkv, g, GROUP]
+            n_tail = total_lens_ref[b] - seq_len
+            j = jax.lax.broadcasted_iota(jnp.int32, (nkv, g, G), 2)
+            s = jnp.where(j < n_tail, s, MASK_VALUE)
+            s2 = s.reshape(nq, G)
+            m_prev = m_ref[:, :1]
+            l_prev = l_ref[:, :1]
+            m_curr = jnp.max(s2, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s2 - m_next)
+            p = jnp.where(j.reshape(nq, G) < n_tail, p, 0.0)
+            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+            l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+            pv = jax.lax.dot_general(
+                p.reshape(nkv, g, G).astype(v.dtype), v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(nq, hd)
+            acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(w == num_pages_per_seq - 1 + int(ring))
     def _finalize():
         _, nkv, g, hd = o_ref.shape
         l = l_ref[:, :1]
@@ -167,6 +207,9 @@ def pallas_paged_decode_attention(
     k_scale: Optional[jax.Array] = None,  # [L, P, ps, nkv] f32 (int8 KV)
     v_scale: Optional[jax.Array] = None,
     layer_index: Optional[jax.Array] = None,
+    ring_k: Optional[jax.Array] = None,  # [L, B, GROUP+1, nkv, hd]
+    ring_v: Optional[jax.Array] = None,
+    total_lens: Optional[jax.Array] = None,  # [B] int32 incl. ring tail
     interpret: bool = False,
     return_stats: bool = False,
 ):
@@ -183,12 +226,20 @@ def pallas_paged_decode_attention(
 
     ``return_stats=True`` additionally returns the online-softmax statistics
     ``(m, l)`` as f32 ``[B, nq]`` (row max and exp-sum), letting the caller
-    merge this partial attention with another source (the group-commit ring
-    in ``models/qwen3``) via the flash combine identity. With stats, ``out``
-    is still normalized by ``l`` (callers re-weight by ``l``).
+    merge this partial attention with another source via the flash combine
+    identity. With stats, ``out`` is still normalized by ``l``.
+
+    ``ring_k``/``ring_v`` + ``total_lens`` fold the group-commit ring's
+    uncommitted tail (positions ``[seq_lens, total_lens)``) INTO the kernel
+    as one extra grid step per slot — replacing the XLA-side
+    ``_ring_attention`` + flash combine (and their per-layer ring-slice
+    copies and ``[B, nq, 128]`` stats round trips) with a 64 KB VMEM block
+    that is fetched once per (layer, slot). ``seq_lens`` is then the
+    COMMITTED length.
     """
     B, nq, hd = q.shape
     quantized = k_scale is not None
+    ring = ring_k is not None
     if k_cache.ndim == 4:  # single-layer convenience form (tests)
         k_cache = k_cache[None]
         v_cache = v_cache[None]
@@ -202,17 +253,17 @@ def pallas_paged_decode_attention(
     qg = q.reshape(B, nkv, g, hd)
     li = jnp.asarray(layer_index, jnp.int32).reshape(1)
 
-    def q_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref):
+    def q_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref, *_):
         return (b, 0, 0, 0)
 
-    def kv_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref):
+    def kv_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref, *_):
         # Clamp past-the-end pages to the last valid page: the repeated block
         # index makes the Pallas pipeline skip the redundant DMA.
         last = jnp.maximum(pl.cdiv(seq_lens_ref[b], ps) - 1, 0)
         w_eff = jnp.minimum(w, last)
         return (li_ref[0], block_tables_ref[b, w_eff], 0, 0, 0)
 
-    def scale_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref):
+    def scale_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref, *_):
         last = jnp.maximum(pl.cdiv(seq_lens_ref[b], ps) - 1, 0)
         w_eff = jnp.minimum(w, last)
         return (li_ref[0], block_tables_ref[b, w_eff], 0, 0)
@@ -229,17 +280,28 @@ def pallas_paged_decode_attention(
             pl.BlockSpec((1, 1, ps, nkv), scale_index_map),
         ]
         operands += [k_scale, v_scale]
+    if ring:
+        GR = ring_k.shape[2] - 1  # ring rows minus the trash row
+
+        def ring_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref, *_):
+            return (li_ref[0], b, 0, 0, 0)
+
+        in_specs += [
+            pl.BlockSpec((1, 1, GR, nkv, hd), ring_index_map),
+            pl.BlockSpec((1, 1, GR, nkv, hd), ring_index_map),
+        ]
+        operands += [ring_k, ring_v]
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, page_size=ps, num_pages_per_seq=W,
-        quantized=quantized, return_stats=return_stats,
+        quantized=quantized, return_stats=return_stats, ring=ring,
     )
     out_dtype = q.dtype
     nq_ = nkv * g
     out_shape = jax.ShapeDtypeStruct((B, nkv, g, hd), out_dtype)
     out_specs = pl.BlockSpec((1, nkv, g, hd), q_index_map)
     if return_stats:
-        def stat_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref):
+        def stat_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref, *_):
             return (b, 0, 0)
 
         out_shape = (
@@ -252,9 +314,12 @@ def pallas_paged_decode_attention(
             pl.BlockSpec((1, nq_, 128), stat_index_map),
             pl.BlockSpec((1, nq_, 128), stat_index_map),
         )
+    scalars = [li, seq_lens, block_tables]
+    if ring:
+        scalars.append(total_lens.astype(jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(B, W),
+        num_scalar_prefetch=len(scalars),
+        grid=(B, W + int(ring)),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
@@ -271,7 +336,7 @@ def pallas_paged_decode_attention(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(li, seq_lens, block_tables, *operands)
+    )(*scalars, *operands)
     if return_stats:
         out, m, l = res
         return out.reshape(B, nq, hd), m[:, :, 0], l[:, :, 0]

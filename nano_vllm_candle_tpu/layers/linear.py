@@ -42,7 +42,9 @@ WeightLike = Union[jax.Array, Dict[str, jax.Array]]
 # store ``[out, in]`` natively, so the loader simply skips the transpose for
 # these. Quantized weights always use the ``[G, gs, out]`` group layout
 # regardless (quantize_qwen3_params restores ``[in, out]`` first).
-TRANSPOSED_PROJS = ("q_proj", "k_proj", "v_proj", "down_proj")
+# ``qkv_proj`` is the fused q/k/v stack (fuse_qwen3_params), concatenated
+# along the transposed out axis.
+TRANSPOSED_PROJS = ("q_proj", "k_proj", "v_proj", "down_proj", "qkv_proj")
 
 
 def QuantizedWeight(q: jax.Array, s: jax.Array, *, packed4: bool = False) -> Dict[str, jax.Array]:
@@ -203,7 +205,9 @@ def matmul(
 
 
 _QUANT_TARGETS = (
-    "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"
+    "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj",
+    # fused forms (fuse_qwen3_params) — present instead of their parts
+    "qkv_proj", "gate_up_proj",
 )
 
 
@@ -215,8 +219,47 @@ def quantize_qwen3_params(
     out = dict(params)
     out["layers"] = dict(params["layers"])
     for name in _QUANT_TARGETS:
+        if name not in params["layers"]:
+            continue  # fused/unfused alternatives
         w = params["layers"][name]
+        if is_quantized(w):
+            continue
         if name in TRANSPOSED_PROJS:  # stored [L, out, in] -> [L, in, out]
             w = jnp.swapaxes(w, -1, -2)
         out["layers"][name] = quantize_weight(w, bits=bits, group_size=group_size)
+    return out
+
+
+def fuse_qwen3_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Fuse q/k/v -> ``qkv_proj`` and gate/up -> ``gate_up_proj``.
+
+    The reference fuses exactly these at load time
+    (``/root/reference/src/models/qwen3.rs:171`` q/k/v into the
+    ``QKVParallelLinear`` weight; ``qwen3.rs:310`` gate/up); here the payoff
+    is TPU-shaped: one kernel dispatch streaming one contiguous weight slab
+    instead of 2-3 (fewer Pallas pipeline spin-ups per decode layer — the
+    weight stream never pauses between q, k and v), and the activation is
+    read from VMEM once per fused group.
+
+    Works on plain stacks (q/k/v are TRANSPOSED ``[L, out, in]`` — concat on
+    the out axis; gate/up are ``[L, in, out]``) and on quantized dicts
+    (concat ``q``/``q4``/``s`` along their out axis). Single-mesh only: a
+    contiguous tp split of a fused out axis would mix q/k/v segments, so the
+    runner fuses only when ``mesh is None``.
+    """
+    layers = dict(params["layers"])
+
+    def cat(names, axis_plain):
+        ws = [layers.pop(n) for n in names]
+        if is_quantized(ws[0]):
+            keys = ws[0].keys()
+            return {k: jnp.concatenate([w[k] for w in ws], axis=-1) for k in keys}
+        return jnp.concatenate(ws, axis=axis_plain)
+
+    if "q_proj" in layers:
+        layers["qkv_proj"] = cat(("q_proj", "k_proj", "v_proj"), 1)
+    if "gate_proj" in layers:
+        layers["gate_up_proj"] = cat(("gate_proj", "up_proj"), 2)
+    out = dict(params)
+    out["layers"] = layers
     return out

@@ -492,9 +492,21 @@ def _decoder_layer(
         t = name in TRANSPOSED_PROJS and not isinstance(w, dict)
         return matmul(xin, w, mm, li, transposed=t)
 
-    q = pmm(normed, "q_proj").reshape(T, c.num_attention_heads, c.head_dim)
-    k = pmm(normed, "k_proj").reshape(T, c.num_key_value_heads, c.head_dim)
-    v = pmm(normed, "v_proj").reshape(T, c.num_key_value_heads, c.head_dim)
+    def has(name: str) -> bool:
+        return name in lp or name in qlp
+
+    if has("qkv_proj"):  # fused stack (layers/linear.fuse_qwen3_params)
+        qkv = pmm(normed, "qkv_proj")
+        q = qkv[:, : c.q_size]
+        k = qkv[:, c.q_size : c.q_size + c.kv_size]
+        v = qkv[:, c.q_size + c.kv_size :]
+    else:
+        q = pmm(normed, "q_proj")
+        k = pmm(normed, "k_proj")
+        v = pmm(normed, "v_proj")
+    q = q.reshape(T, c.num_attention_heads, c.head_dim)
+    k = k.reshape(T, c.num_key_value_heads, c.head_dim)
+    v = v.reshape(T, c.num_key_value_heads, c.head_dim)
 
     # Per-head RMSNorm before RoPE (qwen3.rs:224-232)
     if "qknorm" not in ABLATE:
@@ -535,20 +547,43 @@ def _decoder_layer(
     elif ring:
         n = batch.seq_lens  # includes the current token; 0 = inactive slot
         B = n.shape[0]
-        # 1. Current token -> its ring row (whole-tile write).
         rslot = jnp.where(n > 0, batch.positions % GROUP, GROUP)
-        bidx = jnp.arange(B, dtype=jnp.int32)
-        if "ring_write" not in ABLATE:
-            rk = rk.at[li, bidx, rslot].set(k, mode="drop")
-            rv = rv.at[li, bidx, rslot].set(v, mode="drop")
-        # 2. Completed group (if n crossed a boundary) -> page.
-        rk_l = jax.lax.dynamic_index_in_dim(rk, li, 0, keepdims=False)
-        rv_l = jax.lax.dynamic_index_in_dim(rv, li, 0, keepdims=False)
-        if "commit" not in ABLATE:
-            kk, vv, kcs, vcs = _commit_decode_group(
-                kk, vv, kcs, vcs, rk_l, rv_l, li, n, batch.block_tables, ps,
-                attn_impl == "pallas",
+        if attn_impl == "pallas" and not (ABLATE & {"ring_write", "commit"}):
+            # Fused ring write + group commit: one aliased-output kernel
+            # stages the current row and emits the completed window
+            # (kernels/kv_commit.pallas_ring_commit).
+            from nano_vllm_candle_tpu.kernels.kv_commit import (
+                pallas_ring_commit,
             )
+
+            flush = (n > 0) & (n % GROUP == 0)
+            start = jnp.maximum(n - GROUP, 0)
+            page = jnp.take_along_axis(
+                batch.block_tables, (start // ps)[:, None], 1
+            )[:, 0]
+            pages = jnp.where(flush, page, 0)
+            offs = jnp.where(flush, start % ps, 0)
+            out = pallas_ring_commit(
+                rk, rv, kk, vv, k, v, li, rslot, pages, offs, kcs, vcs
+            )
+            if kcs is not None:
+                rk, rv, kk, vv, kcs, vcs = out
+            else:
+                rk, rv, kk, vv = out
+        else:
+            # 1. Current token -> its ring row (whole-tile write).
+            bidx = jnp.arange(B, dtype=jnp.int32)
+            if "ring_write" not in ABLATE:
+                rk = rk.at[li, bidx, rslot].set(k, mode="drop")
+                rv = rv.at[li, bidx, rslot].set(v, mode="drop")
+            # 2. Completed group (if n crossed a boundary) -> page.
+            rk_l2 = jax.lax.dynamic_index_in_dim(rk, li, 0, keepdims=False)
+            rv_l2 = jax.lax.dynamic_index_in_dim(rv, li, 0, keepdims=False)
+            if "commit" not in ABLATE:
+                kk, vv, kcs, vcs = _commit_decode_group(
+                    kk, vv, kcs, vcs, rk_l2, rv_l2, li, n, batch.block_tables,
+                    ps, attn_impl == "pallas",
+                )
         # 3. Attention = paged part (committed prefix) + ring tail, merged.
         committed = (n // GROUP) * GROUP
         qg = q.reshape(B, c.num_key_value_heads, c.num_q_per_kv, c.head_dim)
@@ -557,11 +592,24 @@ def _decoder_layer(
                 pallas_paged_decode_attention,
             )
 
-            out1, m1, l1 = pallas_paged_decode_attention(
-                q, kk, vv, batch.block_tables, committed, scale,
-                k_scale=kcs, v_scale=vcs, layer_index=li, return_stats=True,
-            )
+            if "ring_attn" in ABLATE:
+                out1, m1, l1 = pallas_paged_decode_attention(
+                    q, kk, vv, batch.block_tables, committed, scale,
+                    k_scale=kcs, v_scale=vcs, layer_index=li,
+                    return_stats=True,
+                )
+                attn_out = out1.astype(hidden.dtype)
+            else:
+                # Ring tail folded into the kernel as one extra grid step
+                # (no XLA-side combine, no per-layer ring slices).
+                attn_out = pallas_paged_decode_attention(
+                    q, kk, vv, batch.block_tables, committed, scale,
+                    k_scale=kcs, v_scale=vcs, layer_index=li,
+                    ring_k=rk, ring_v=rv, total_lens=n,
+                ).astype(hidden.dtype)
         else:
+            rk_l = jax.lax.dynamic_index_in_dim(rk, li, 0, keepdims=False)
+            rv_l = jax.lax.dynamic_index_in_dim(rv, li, 0, keepdims=False)
             k_l = jax.lax.dynamic_index_in_dim(kk, li, 0, keepdims=False)
             v_l = jax.lax.dynamic_index_in_dim(vv, li, 0, keepdims=False)
             kcs_l = (
@@ -576,18 +624,20 @@ def _decoder_layer(
                 q, k_l, v_l, batch.block_tables, committed, scale,
                 k_scale=kcs_l, v_scale=vcs_l, return_stats=True,
             )
-        if "ring_attn" in ABLATE:
-            attn_out = out1.astype(hidden.dtype)
-        else:
-            out2_u, m2, l2 = _ring_attention(qg, rk_l, rv_l, n, committed, scale)
-            shp = (B, c.num_key_value_heads, c.num_q_per_kv)
-            merged = _combine_attention(
-                out1.reshape(*shp, c.head_dim), m1.reshape(shp), l1.reshape(shp),
-                out2_u, m2, l2,
-            )
-            attn_out = merged.reshape(
-                B, c.num_attention_heads, c.head_dim
-            ).astype(hidden.dtype)
+            if "ring_attn" in ABLATE:
+                attn_out = out1.astype(hidden.dtype)
+            else:
+                out2_u, m2, l2 = _ring_attention(
+                    qg, rk_l, rv_l, n, committed, scale
+                )
+                shp = (B, c.num_key_value_heads, c.num_q_per_kv)
+                merged = _combine_attention(
+                    out1.reshape(*shp, c.head_dim), m1.reshape(shp),
+                    l1.reshape(shp), out2_u, m2, l2,
+                )
+                attn_out = merged.reshape(
+                    B, c.num_attention_heads, c.head_dim
+                ).astype(hidden.dtype)
     else:
         kk, vv, kcs, vcs = _write_kv(
             kk, vv, kcs, vcs, k, v, batch.slot_mapping, li
@@ -619,9 +669,12 @@ def _decoder_layer(
         normed, residual = rms_norm(
             hidden, lp["post_attention_layernorm"], c.rms_norm_eps, residual
         )
-    gate = pmm(normed, "gate_proj")
-    up = pmm(normed, "up_proj")
-    hidden = pmm(jax.nn.silu(gate) * up, "down_proj")
+    if has("gate_up_proj"):  # fused [.., 2I]: gate half then up half
+        hidden = pmm(silu_and_mul(pmm(normed, "gate_up_proj")), "down_proj")
+    else:
+        gate = pmm(normed, "gate_proj")
+        up = pmm(normed, "up_proj")
+        hidden = pmm(jax.nn.silu(gate) * up, "down_proj")
     return hidden, residual, kk, vv, kcs, vcs, rk, rv
 
 

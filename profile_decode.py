@@ -37,6 +37,11 @@ def main():
         help="comma-separated decode-layer stages to SKIP (cost-by-"
              f"difference forensics): any of {qwen3._ABLATABLE}",
     )
+    ap.add_argument("--only-full", action="store_true",
+                    help="measure only the full step (fast ablation runs)")
+    ap.add_argument("--fuse", action="store_true",
+                    help="fuse qkv / gate_up stacks (fuse_qwen3_params)")
+    ap.add_argument("--quantization", choices=["int8", "int4"])
     args = ap.parse_args()
     if args.ablate:
         qwen3.ABLATE = frozenset(args.ablate.split(","))
@@ -50,6 +55,14 @@ def main():
     W = -(-(SL + K + 1) // ps)
     P = 1 + B * W
     params = qwen3.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+    if args.quantization:
+        from nano_vllm_candle_tpu.layers.linear import quantize_qwen3_params
+
+        params = quantize_qwen3_params(params, bits=args.quantization)
+    if args.fuse:
+        from nano_vllm_candle_tpu.layers.linear import fuse_qwen3_params
+
+        params = fuse_qwen3_params(params)
     bt = np.zeros((B, W), np.int32)
     for i in range(B):
         bt[i] = 1 + i * W + np.arange(W)
@@ -122,6 +135,8 @@ def main():
 
     ring = args.attn in qwen3.RING_IMPLS
     t_full = bench(make_step(0, True, args.attn), f"full ({args.attn})", ring=ring)
+    if args.only_full:
+        return
     t_noattn = bench(make_step(1, True, args.attn), "attn @ seq_len=1", ring=ring)
     t_nolog = bench(
         make_step(0, False, args.attn), f"no logits/sample ({args.attn})", ring=ring)

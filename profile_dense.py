@@ -20,13 +20,13 @@ from nano_vllm_candle_tpu.models import qwen3
 
 
 def timeit(fn, *args, reps=5, K=64):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # np.asarray, not block_until_ready: over the tunneled chip the latter
+    # returns before execution finishes; only a D2H fetch truly syncs.
+    out = np.asarray(jax.tree.leaves(fn(*args))[0])
     best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = np.asarray(jax.tree.leaves(fn(*args))[0])
         best = min(best, time.perf_counter() - t0)
     return best / K
 
@@ -120,8 +120,29 @@ def main():
     t = timeit(mm_fused, qkv_w, gu_w, lw["o_proj"], lw["down_proj"], x0, K=K)
     print(f"matmul chain (fused qkv+gateup)   {t*1e3:7.3f} ms/step")
 
-    # --- 4. model forward minus attention/logits via the real code -----------
-    # (compare with profile_decode's "no logits" minus its attn component)
+    # --- 4. fused chain through the pallas stacked dense kernel --------------
+    from nano_vllm_candle_tpu.layers.linear import matmul
+
+    @jax.jit
+    def mm_fused_pallas(qkv_w, gu_w, o_w, d_w, x0):
+        def step(x, _):
+            def layer(x, li):
+                qkv = matmul(x, qkv_w, "pallas", li, transposed=True)
+                q = qkv[:, :Q]
+                h = matmul(q, o_w, "pallas", li).astype(jnp.bfloat16)
+                gu = matmul(h, gu_w, "pallas", li)
+                o = matmul(
+                    (gu[:, :I] * gu[:, I:]).astype(jnp.bfloat16),
+                    d_w, "pallas", li, transposed=True,
+                ).astype(jnp.bfloat16)
+                return o, ()
+            x, _ = jax.lax.scan(layer, x, jnp.arange(L, dtype=jnp.int32))
+            return x, ()
+        x, _ = jax.lax.scan(step, x0, jnp.arange(K))
+        return x
+
+    t = timeit(mm_fused_pallas, qkv_w, gu_w, lw["o_proj"], lw["down_proj"], x0, K=K)
+    print(f"matmul chain (fused, pallas)      {t*1e3:7.3f} ms/step")
 
 
 if __name__ == "__main__":

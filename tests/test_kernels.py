@@ -379,3 +379,128 @@ class TestDenseMatmulKernel:
         wt = jnp.swapaxes(w, 1, 2)
         got_t = matmul(x, wt, "xla", jnp.int32(1), transposed=True)
         np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref), rtol=1e-6)
+
+
+class TestRingCommitKernel:
+    """Fused ring-write + group-commit (kernels/kv_commit.pallas_ring_commit)
+    vs the two-step XLA path (scatter ring write + _commit_decode_group)."""
+
+    def _case(self, quant, seed=0):
+        from nano_vllm_candle_tpu.models.qwen3 import GROUP
+
+        L, P, B, nkv, ps, hd = 2, 6, 4, 2, 2 * GROUP, 32
+        ks = jax.random.split(jax.random.key(seed), 6)
+        rk = jax.random.normal(ks[0], (L, B, GROUP + 1, nkv, hd), jnp.float32)
+        rv = jax.random.normal(ks[1], (L, B, GROUP + 1, nkv, hd), jnp.float32)
+        new_k = jax.random.normal(ks[2], (B, nkv, hd), jnp.float32)
+        new_v = jax.random.normal(ks[3], (B, nkv, hd), jnp.float32)
+        if quant:
+            kc = jnp.zeros((L, P, nkv, ps, hd), jnp.int8)
+            vc = jnp.zeros_like(kc)
+            kcs = jnp.zeros((L, P, ps, nkv), jnp.float32)
+            vcs = jnp.zeros_like(kcs)
+        else:
+            kc = jax.random.normal(ks[4], (L, P, nkv, ps, hd), jnp.float32)
+            vc = jax.random.normal(ks[5], (L, P, nkv, ps, hd), jnp.float32)
+            kcs = vcs = None
+        # slots: 0 flushes a full group, 1 mid-group, 2 inactive, 3 flushes
+        n = jnp.asarray([2 * GROUP, GROUP + 3, 0, GROUP], jnp.int32)
+        bt = jnp.asarray([[1, 2], [3, 3], [0, 0], [4, 5]], jnp.int32)
+        return rk, rv, kc, vc, kcs, vcs, new_k, new_v, n, bt, ps
+
+    def _xla_twin(self, rk, rv, kc, vc, kcs, vcs, new_k, new_v, n, bt, ps, li):
+        from nano_vllm_candle_tpu.models.qwen3 import (
+            GROUP, _commit_decode_group,
+        )
+
+        B = n.shape[0]
+        positions = jnp.maximum(n - 1, 0)
+        rslot = jnp.where(n > 0, positions % GROUP, GROUP)
+        bidx = jnp.arange(B, dtype=jnp.int32)
+        rk = rk.at[li, bidx, rslot].set(new_k, mode="drop")
+        rv = rv.at[li, bidx, rslot].set(new_v, mode="drop")
+        rk_l = rk[li]
+        rv_l = rv[li]
+        kc, vc, kcs, vcs = _commit_decode_group(
+            kc, vc, kcs, vcs, rk_l, rv_l, li, n, bt, ps, use_kernel=False
+        )
+        return rk, rv, kc, vc, kcs, vcs
+
+    @pytest.mark.parametrize("quant", [False, True])
+    def test_matches_xla_twin(self, quant):
+        from nano_vllm_candle_tpu.kernels.kv_commit import pallas_ring_commit
+        from nano_vllm_candle_tpu.models.qwen3 import GROUP
+
+        case = self._case(quant)
+        rk, rv, kc, vc, kcs, vcs, new_k, new_v, n, bt, ps = case
+        li = jnp.int32(1)
+        positions = jnp.maximum(n - 1, 0)
+        rslot = jnp.where(n > 0, positions % GROUP, GROUP)
+        flush = (n > 0) & (n % GROUP == 0)
+        start = jnp.maximum(n - GROUP, 0)
+        page = jnp.take_along_axis(bt, (start // ps)[:, None], 1)[:, 0]
+        pages = jnp.where(flush, page, 0)
+        offs = jnp.where(flush, start % ps, 0)
+        got = pallas_ring_commit(
+            rk, rv, kc, vc, new_k, new_v, li, rslot, pages, offs,
+            kcs, vcs, interpret=True,
+        )
+        ref = self._xla_twin(
+            rk, rv, kc, vc, kcs, vcs, new_k, new_v, n, bt, ps, li
+        )
+        names = ["ring_k", "ring_v", "k_cache", "v_cache", "k_scale", "v_scale"]
+        ref = [r for r in ref if r is not None]
+        for g, r, name in zip(got, ref, names):
+            if name.endswith("cache") and quant:
+                # null-page garbage differs between impls; compare real pages
+                np.testing.assert_array_equal(
+                    np.asarray(g)[:, 1:], np.asarray(r)[:, 1:], err_msg=name
+                )
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(r), rtol=1e-6, atol=1e-6,
+                    err_msg=name,
+                )
+
+
+class TestRingFoldedDecodeAttention:
+    """Paged decode with the ring tail folded into the kernel vs the XLA
+    composition (paged stats + _ring_attention + _combine_attention)."""
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_xla_composition(self, seed):
+        from nano_vllm_candle_tpu.models.qwen3 import (
+            GROUP, _combine_attention, _ring_attention,
+        )
+
+        B, nq, nkv, hd, ps = 3, 8, 4, 128, 2 * GROUP
+        q, kc, vc, bt, _ = make_case(
+            B=B, nq=nq, nkv=nkv, hd=hd, ps=ps, P=8, W=3, seed=seed
+        )
+        keys = jax.random.split(jax.random.key(seed + 100), 2)
+        rk = jax.random.normal(keys[0], (B, GROUP + 1, nkv, hd), jnp.float32)
+        rv = jax.random.normal(keys[1], (B, GROUP + 1, nkv, hd), jnp.float32)
+        # totals: mid-group tail, exactly-at-boundary (empty tail), inactive
+        n = jnp.asarray([ps + 7, ps, 0], jnp.int32)[:B]
+        committed = (n // GROUP) * GROUP
+        scale = hd ** -0.5
+
+        got = pallas_paged_decode_attention(
+            q, kc, vc, bt, committed, scale,
+            ring_k=rk[None], ring_v=rv[None], total_lens=n, interpret=True,
+        )
+
+        out1, m1, l1 = paged_decode_attention(
+            q, kc, vc, bt, committed, scale, return_stats=True
+        )
+        g = nq // nkv
+        qg = q.reshape(B, nkv, g, hd)
+        out2_u, m2, l2 = _ring_attention(qg, rk, rv, n, committed, scale)
+        shp = (B, nkv, g)
+        ref = _combine_attention(
+            out1.reshape(*shp, hd), m1.reshape(shp), l1.reshape(shp),
+            out2_u, m2, l2,
+        ).reshape(B, nq, hd)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )

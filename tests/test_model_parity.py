@@ -108,3 +108,29 @@ def test_random_init_forward_shapes():
     # Logit variance sanity (layer_test.rs:38-71 asserts var > 1.0; random
     # init won't hit that bar, just require non-degenerate spread).
     assert np.asarray(logits).std() > 1e-3
+
+
+@pytest.mark.parametrize("quant", [None, "int8", "int4"])
+def test_fused_projections_match_unfused(quant):
+    """fuse_qwen3_params (qkv_proj / gate_up_proj) is numerically identical
+    to the separate projections, plain and quantized — the load-time fusion
+    the reference performs (qwen3.rs:171,310)."""
+    import jax
+
+    from nano_vllm_candle_tpu.layers.linear import (
+        fuse_qwen3_params,
+        quantize_qwen3_params,
+    )
+
+    config = Qwen3Config.tiny()
+    params = qwen3.init_params(config, jax.random.key(3), dtype=jnp.float32)
+    if quant:
+        params = quantize_qwen3_params(params, bits=quant, group_size=32)
+    fused = fuse_qwen3_params(params)
+    assert "qkv_proj" in fused["layers"] and "q_proj" not in fused["layers"]
+    assert "gate_up_proj" in fused["layers"] and "up_proj" not in fused["layers"]
+
+    tokens = jnp.asarray([3, 1, 4, 1, 5, 9, 2, 6], jnp.int32)
+    ref = qwen3.forward_full(params, tokens, config=config)
+    got = qwen3.forward_full(fused, tokens, config=config)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
