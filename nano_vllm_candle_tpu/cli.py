@@ -99,8 +99,9 @@ def main(argv=None) -> int:
     tokenizer = load_tokenizer(args.model)
     text = args.prompt if args.no_chat_template else apply_chat_template(args.prompt)
     token_ids = tokenizer.encode(text)
-    if llm.config.bos_token_id is not None and args.model is None:
-        token_ids = [llm.config.bos_token_id] + token_ids  # BOS prepend (main.rs:206-207)
+    if llm.config.bos_token_id is not None:
+        # Unconditional BOS prepend, reference parity (main.rs:206-207).
+        token_ids = [llm.config.bos_token_id] + token_ids
 
     sp = SamplingParams(
         temperature=args.temperature,

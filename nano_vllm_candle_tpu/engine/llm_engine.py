@@ -53,6 +53,11 @@ class GenerationOutput:
     seq_id: int
     token_ids: List[int]
     text: Optional[str] = None
+    # Set when the request was finished by failure degradation (runner error
+    # or unschedulable prompt) rather than EOS/max_tokens — the
+    # reference-parity posture of emitting EOS and carrying on
+    # (``llm_engine.rs:154-175``).
+    error: Optional[str] = None
 
     def with_text(self, text: str) -> "GenerationOutput":
         return dataclasses.replace(self, text=text)
@@ -95,14 +100,35 @@ class LLMEngine:
         self.scheduler.add(seq)
         return seq.seq_id
 
+    def _degrade(self, seqs: List[Sequence], exc: Exception) -> None:
+        """Per-request failure degradation (``llm_engine.rs:154-175``): a
+        runner error finishes the affected batch with EOS + error instead of
+        crashing the serving process."""
+        logger.error("model runner failed; degrading %d seqs: %s", len(seqs), exc)
+        for seq in seqs:
+            self.scheduler.force_finish(seq, error=str(exc))
+
     def step(self) -> StepOutput:
+        # Surface out-of-band finishes (admission rejects, degraded errors).
+        oob = self.scheduler.drain_finished_out_of_band()
+        if oob:
+            return StepOutput(
+                outputs=[(s.seq_id, list(s.completion_token_ids)) for s in oob],
+                is_prefill=False,
+                num_tokens=0,
+            )
         seqs, is_prefill = self.scheduler.schedule()
         if not seqs:
             # All running sequences were preempted this round (impossible in
             # the reference only because its can_append is constant true).
             return StepOutput(outputs=[], is_prefill=False, num_tokens=0)
-        token_ids = self.model_runner.run(seqs, is_prefill)
-        accepted = self.scheduler.post_process(seqs, token_ids)
+        try:
+            token_ids = self.model_runner.run(seqs, is_prefill)
+            accepted = self.scheduler.post_process(seqs, token_ids)
+        except Exception as e:  # degradation, not crash (llm_engine.rs:154-175)
+            self._degrade(seqs, e)
+            accepted = 0
+        self.scheduler.drain_finished_out_of_band()
 
         outputs = [
             (seq.seq_id, list(seq.completion_token_ids))
@@ -150,16 +176,22 @@ class LLMEngine:
             self.add_request(p, sp) for p, sp in zip(prompts, params_list)
         ]
         want = set(seq_ids)
-        collected: Dict[int, List[int]] = {}
+        collected: Dict[int, Tuple[List[int], Optional[str]]] = {}
 
         def collect(seqs) -> None:
             for seq in seqs:
                 if seq.is_finished and seq.seq_id in want:
-                    collected[seq.seq_id] = list(seq.completion_token_ids)
+                    collected[seq.seq_id] = (
+                        list(seq.completion_token_ids), seq.error
+                    )
 
         self.run_until_done(collect)
         return [
-            GenerationOutput(seq_id=sid, token_ids=collected.get(sid, []))
+            GenerationOutput(
+                seq_id=sid,
+                token_ids=collected.get(sid, ([], None))[0],
+                error=collected.get(sid, ([], None))[1],
+            )
             for sid in seq_ids
         ]
 
@@ -178,21 +210,45 @@ class LLMEngine:
         pipelined = getattr(self.model_runner, "supports_chaining", False)
         depth = max(1, getattr(self.model_runner, "pipeline_depth", 2))
         pending: deque = deque()  # (seqs, token_future), oldest first
+        oob = self.scheduler.drain_finished_out_of_band()  # add-time rejects
+        if oob and collect is not None:
+            collect(oob)
         while not self.is_finished() or pending:
+            oob = self.scheduler.drain_finished_out_of_band()
+            if oob and collect is not None:
+                collect(oob)
             if not pending:
                 seqs, is_prefill = self.scheduler.schedule()
                 if not seqs:
+                    if self.scheduler.waiting and not self.scheduler.running:
+                        # Nothing is running yet the head of the queue cannot
+                        # be admitted with every block free: it never will be.
+                        self.scheduler.force_finish(
+                            self.scheduler.waiting[0],
+                            error="request can never be scheduled "
+                            "(insufficient KV blocks even when idle)",
+                        )
                     continue
                 if is_prefill or not pipelined:
-                    tokens = self.model_runner.run(seqs, is_prefill)
-                    accepted = self.scheduler.post_process(seqs, tokens)
+                    try:
+                        tokens = self.model_runner.run(seqs, is_prefill)
+                        accepted = self.scheduler.post_process(seqs, tokens)
+                    except Exception as e:
+                        self._degrade(seqs, e)
+                        accepted = 0
                     self._account(is_prefill, seqs, accepted)
                     if collect is not None:
                         collect(seqs)
                     continue
-                pending.append(
-                    (seqs, self.model_runner.dispatch_decode(seqs, chained=False))
-                )
+                try:
+                    pending.append(
+                        (seqs, self.model_runner.dispatch_decode(seqs, chained=False))
+                    )
+                except Exception as e:
+                    self._degrade(seqs, e)
+                    if collect is not None:
+                        collect(seqs)
+                    continue
 
             # Top up the chain BEFORE fetching, so the device always has
             # queued work while the host blocks on the oldest result.
@@ -205,27 +261,38 @@ class LLMEngine:
                 # only live ones need blocks or justify another burst.
                 active = [s for s in seqs_p if not s.is_finished]
                 ahead = len(pending) * K  # tokens already in flight
+                mml = self.scheduler.max_model_len
                 can_chain = (
                     bool(active)
                     and not self.scheduler.waiting
                     and bm.can_extend_batch(active, ahead + K)
                     and any(
                         seq.max_tokens - seq.num_completion_tokens > ahead
+                        and (not mml or len(seq) + ahead < mml)
                         for seq in active
                     )
                 )
                 if not can_chain:
                     break
                 for seq in active:
-                    bm.extend(seq, ahead + K)
-                pending.append(
-                    (seqs_p, self.model_runner.dispatch_decode(
-                        seqs_p, chained=True, inflight=len(pending)))
-                )
+                    bm.extend(seq, self.scheduler.extend_room(seq, ahead + K))
+                try:
+                    pending.append(
+                        (seqs_p, self.model_runner.dispatch_decode(
+                            seqs_p, chained=True, inflight=len(pending)))
+                    )
+                except Exception as e:
+                    self._degrade(seqs_p, e)
+                    break
 
             seqs_p, fut = pending.popleft()
-            tokens = self.model_runner.fetch_decode(fut)
-            accepted = self.scheduler.post_process(seqs_p, tokens)
+            try:
+                tokens = self.model_runner.fetch_decode(fut)
+                accepted = self.scheduler.post_process(seqs_p, tokens)
+            except Exception as e:
+                self._degrade(seqs_p, e)
+                pending.clear()  # later bursts chain from the failed state
+                accepted = 0
             self._account(False, seqs_p, accepted)
             if collect is not None:
                 collect(seqs_p)

@@ -195,7 +195,14 @@ class JaxModelRunner:
             kv_cache, tokens = carry
             pos = jnp.where(active, start_pos + i, 0)
             seq_lens = jnp.where(active, start_len + i, 0)
-            page = jnp.take_along_axis(block_tables, (pos // bs)[:, None], axis=1)[:, 0]
+            # Speculative burst tokens past max_model_len have no table entry;
+            # route their KV writes to the null page (block 0) — they are
+            # discarded by post_process, and the page clamp keeps the gather
+            # in bounds.
+            W = block_tables.shape[1]
+            pidx = jnp.minimum(pos // bs, W - 1)
+            page = jnp.take_along_axis(block_tables, pidx[:, None], axis=1)[:, 0]
+            page = jnp.where(pos // bs < W, page, 0)
             slot = page * bs + pos % bs
             batch = qwen3.DecodeBatch(
                 token_ids=tokens,

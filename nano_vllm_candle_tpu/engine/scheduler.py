@@ -35,6 +35,14 @@ class SchedulerConfig:
     num_kvcache_blocks: int = 512
     kvcache_block_size: int = 256
     enable_prefix_caching: bool = True
+    # The runner pads each prefill sequence to a multiple of this granularity
+    # (the model's cache-commit GROUP); admission budgets must count padded
+    # lengths or the runner's bucket lookup can overflow mid-serve.
+    prefill_granularity: int = 1
+    # Hard cap on prompt+completion length (0 = unlimited). Sequences are
+    # finished with reason "length" when they reach it, so the runner's
+    # per-sequence block table can never overflow.
+    max_model_len: int = 0
     # Decode steps executed per schedule round in ONE device dispatch
     # (multi-step decode; sampled tokens feed forward on device). 1 =
     # reference-style single-step scheduling.
@@ -80,16 +88,82 @@ class Scheduler:
             self.block_manager = BlockManager(bm_config)
         self.block_size = config.kvcache_block_size
         self.decode_burst = max(1, config.decode_burst)
+        self.prefill_granularity = max(1, config.prefill_granularity)
+        self.max_model_len = config.max_model_len
         self.waiting: Deque[Sequence] = deque()
         self.running: Deque[Sequence] = deque()
+        # Sequences finished outside a step (admission rejects, degraded
+        # errors); the engine drains this each step to surface their outputs.
+        self.rejected: List[Sequence] = []
         # step metrics (SURVEY.md §5.5 rebuild note)
         self.num_preemptions = 0
 
     # -- queue management ----------------------------------------------------
 
-    def add(self, seq: Sequence) -> None:
+    def _padded_len(self, seq: Sequence) -> int:
+        """Prefill token cost of a sequence after the runner's GROUP padding
+        (model_runner._build_prefill_tokens pads each sequence to a multiple
+        of the cache-commit granularity)."""
+        g = self.prefill_granularity
+        return -(-len(seq) // g) * g
+
+    def _admission_error(self, seq: Sequence) -> Optional[str]:
+        """Why this sequence can NEVER be scheduled (None if it can)."""
+        if self._padded_len(seq) > self.max_num_batched_tokens:
+            return (
+                f"prompt of {len(seq)} tokens (padded "
+                f"{self._padded_len(seq)}) exceeds max_num_batched_tokens="
+                f"{self.max_num_batched_tokens}"
+            )
+        # Block 0 is the reserved null page.
+        usable_blocks = self.block_manager.num_blocks - 1
+        if seq.num_blocks > usable_blocks:
+            return (
+                f"prompt needs {seq.num_blocks} KV blocks > "
+                f"{usable_blocks} total"
+            )
+        if self.max_model_len and len(seq) > self.max_model_len:
+            return (
+                f"prompt of {len(seq)} tokens exceeds max_model_len="
+                f"{self.max_model_len}"
+            )
+        return None
+
+    def add(self, seq: Sequence) -> bool:
+        """Enqueue a request; returns False (and finishes the sequence with
+        an error) if it can never be scheduled — the reference-parity
+        alternative to livelocking on an oversized prompt."""
         seq.block_size = self.block_size
+        err = self._admission_error(seq)
+        if err is not None:
+            self.force_finish(seq, error=err)
+            return False
         self.waiting.append(seq)
+        return True
+
+    def force_finish(self, seq: Sequence, *, error: Optional[str] = None) -> None:
+        """Finish a sequence out-of-band (admission reject or runner error),
+        emitting EOS as its next token the way the reference degrades
+        failures (``llm_engine.rs:154-175``) so output shapes stay uniform.
+        """
+        if seq.is_finished:
+            return
+        if error is not None:
+            seq.error = error
+            logger.error("seq=%d force-finished: %s", seq.seq_id, error)
+        seq.append_token(self.eos)
+        seq.status = SequenceStatus.FINISHED
+        self.block_manager.deallocate(seq)
+        for q in (self.running, self.waiting):
+            try:
+                q.remove(seq)
+            except ValueError:
+                pass
+        self.rejected.append(seq)
+
+    def drain_finished_out_of_band(self) -> List[Sequence]:
+        out, self.rejected = self.rejected, []
+        return out
 
     def is_finished(self) -> bool:
         return not self.waiting and not self.running
@@ -119,11 +193,22 @@ class Scheduler:
         num_batched_tokens = 0
         while self.waiting:
             seq = self.waiting[0]
+            # A head that can NEVER be scheduled (e.g. it grew past the token
+            # budget while preempted) is finished with an error instead of
+            # blocking the queue forever.
+            err = self._admission_error(seq)
+            if err is not None:
+                self.waiting.popleft()
+                self.force_finish(seq, error=err)
+                continue
             if len(self.running) + len(scheduled) >= self.max_num_seqs:
                 break
+            # Budget counts GROUP-padded lengths — exactly what the runner
+            # packs into the prefill bucket (model_runner.py
+            # _build_prefill_tokens), so the bucket lookup can't overflow.
             # Conservative pre-admission estimate (real cached count is known
             # only after allocate() runs the prefix matcher).
-            if num_batched_tokens + len(seq) > self.max_num_batched_tokens:
+            if num_batched_tokens + self._padded_len(seq) > self.max_num_batched_tokens:
                 break
             if not self.block_manager.can_allocate(seq):
                 break
@@ -136,7 +221,7 @@ class Scheduler:
             # Budget counts the full prompt: the runner currently recomputes
             # cached-prefix tokens too (prefix hits dedup KV *memory*; the
             # compute skip lands with cached-prefix prefill attention).
-            num_batched_tokens += len(seq)
+            num_batched_tokens += self._padded_len(seq)
             seq.status = SequenceStatus.RUNNING
             scheduled.append(seq)
             logger.debug(
@@ -156,8 +241,9 @@ class Scheduler:
         i = 0
         while i < len(self.running):
             seq = self.running[i]
+            n = self.extend_room(seq, K)
             preempted_self = False
-            while not self.block_manager.can_extend(seq, K):
+            while not self.block_manager.can_extend(seq, n):
                 victim = self.running[-1]
                 if victim is seq:
                     self._preempt(seq)
@@ -167,10 +253,20 @@ class Scheduler:
                 self._preempt(victim)
             if preempted_self:
                 continue  # self was removed; index i now points at next seq
-            self.block_manager.extend(seq, K)
+            self.block_manager.extend(seq, n)
             scheduled.append(seq)
             i += 1
         return scheduled
+
+    def extend_room(self, seq: Sequence, n_tokens: int) -> int:
+        """Clamp a burst's block pre-allocation to ``max_model_len``: the
+        device still runs the full burst, but tokens past the cap are
+        discarded by post_process and their KV writes are routed to the null
+        page, so blocks past the cap must never be allocated (the runner's
+        per-sequence table is exactly ``max_model_len`` blocks wide)."""
+        if not self.max_model_len:
+            return n_tokens
+        return max(0, min(n_tokens, self.max_model_len - len(seq) + 1))
 
     def _preempt(self, seq: Sequence) -> None:
         """Return a sequence to the waiting queue, releasing its blocks
@@ -211,7 +307,9 @@ class Scheduler:
                 seq.append_token(token_id)
                 accepted += 1
                 hit_eos = (not seq.ignore_eos) and token_id == self.eos
-                hit_cap = seq.num_completion_tokens >= seq.max_tokens
+                hit_cap = seq.num_completion_tokens >= seq.max_tokens or (
+                    self.max_model_len > 0 and len(seq) >= self.max_model_len
+                )
                 if hit_eos or hit_cap:
                     break
             if hit_eos or hit_cap:

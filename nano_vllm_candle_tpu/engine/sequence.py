@@ -49,6 +49,11 @@ class Sequence:
         self.ignore_eos = sampling_params.ignore_eos
         self.top_k = sampling_params.top_k
         self.top_p = sampling_params.top_p
+        # Failure degradation (reference parity: forward errors emit EOS and
+        # finish the request instead of crashing the engine,
+        # llm_engine.rs:154-175). Set when the sequence was finished because
+        # of an error (runner failure / unschedulable request).
+        self.error: "str | None" = None
 
     def __len__(self) -> int:
         return len(self.token_ids)

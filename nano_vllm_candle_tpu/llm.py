@@ -81,6 +81,8 @@ class LLM:
                 enable_prefix_caching=engine_config.enable_prefix_caching,
                 decode_burst=engine_config.decode_burst,
                 native_block_manager=engine_config.native_block_manager,
+                prefill_granularity=qwen3.GROUP,
+                max_model_len=engine_config.max_model_len,
             )
         )
         self.model_runner = JaxModelRunner(

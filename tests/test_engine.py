@@ -330,3 +330,107 @@ class TestLLMEngineWithDummyRunner:
         eng.generate([[1, 2]], SamplingParams(max_tokens=3, ignore_eos=True))
         assert eng.metrics["prefill_tokens"] == 2
         assert eng.metrics["decode_tokens"] == 2  # 3 tokens: 1 prefill-sampled + 2 decode
+
+
+class TestRobustness:
+    """Round-2 robustness regressions: oversized-prompt rejection,
+    GROUP-padded admission budget, and per-request failure degradation
+    (reference posture: ``llm_engine.rs:154-175``)."""
+
+    def engine(self, runner=None, **kw):
+        defaults = dict(
+            max_num_seqs=4,
+            max_num_batched_tokens=64,
+            eos=100,
+            num_kvcache_blocks=32,
+            kvcache_block_size=4,
+        )
+        defaults.update(kw)
+        return LLMEngine(
+            Scheduler(SchedulerConfig(**defaults)), runner or DummyModelRunner()
+        )
+
+    def test_oversized_prompt_rejected_not_livelocked(self):
+        eng = self.engine()  # budget 64
+        out = eng.generate([list(range(100))], SamplingParams(max_tokens=4))
+        assert out[0].error is not None
+        assert "max_num_batched_tokens" in out[0].error
+        assert out[0].token_ids == [100]  # degraded to EOS emission
+        assert eng.is_finished()
+
+    def test_prompt_needing_more_blocks_than_exist_rejected(self):
+        eng = self.engine(num_kvcache_blocks=3, max_num_batched_tokens=1024)
+        # 2 usable blocks of 4 -> an 18-token prompt needs 5 blocks.
+        out = eng.generate([list(range(18))], SamplingParams(max_tokens=4))
+        assert out[0].error is not None and "KV blocks" in out[0].error
+
+    def test_good_requests_survive_alongside_rejected(self):
+        eng = self.engine()
+        outs = eng.generate(
+            [[10], list(range(100)), [20]],
+            SamplingParams(max_tokens=2, ignore_eos=True),
+        )
+        assert outs[0].token_ids == [11, 12] and outs[0].error is None
+        assert outs[1].error is not None
+        assert outs[2].token_ids == [21, 22] and outs[2].error is None
+
+    def test_group_padded_budget_admission(self):
+        """9 x 454-token prompts: raw sum 4086 <= 4096 but GROUP-padded sum
+        4320 > 4096 — counting raw lengths would overflow the runner's
+        largest bucket mid-serve (round-1 crash)."""
+        s = Scheduler(SchedulerConfig(
+            max_num_seqs=16,
+            max_num_batched_tokens=4096,
+            num_kvcache_blocks=2048,
+            kvcache_block_size=32,
+            prefill_granularity=32,
+        ))
+        for _ in range(9):
+            s.add(make_seq(list(range(454)), block_size=32))
+        batch, is_prefill = s.schedule()
+        assert is_prefill and len(batch) == 8  # 8 x 480 = 3840; 9th busts it
+        assert sum(-(-len(q) // 32) * 32 for q in batch) <= 4096
+
+    def test_runner_error_degrades_to_eos(self):
+        class FailingRunner:
+            def run(self, seqs, is_prefill):
+                raise RuntimeError("XLA exploded")
+
+        eng = self.engine(runner=FailingRunner())
+        out = eng.generate([[1, 2, 3]], SamplingParams(max_tokens=4))
+        assert out[0].error == "XLA exploded"
+        assert out[0].token_ids == [100]  # EOS emitted, engine alive
+        assert eng.is_finished()
+
+    def test_runner_error_then_engine_still_serves(self):
+        class FlakyRunner:
+            def __init__(self):
+                self.calls = 0
+
+            def run(self, seqs, is_prefill):
+                self.calls += 1
+                if self.calls == 1:
+                    raise RuntimeError("transient")
+                k = 1
+                return [[seq.last_token + 1 + i for i in range(k)] for seq in seqs]
+
+        eng = self.engine(runner=FlakyRunner())
+        bad = eng.generate([[1]], SamplingParams(max_tokens=2, ignore_eos=True))
+        assert bad[0].error == "transient"
+        good = eng.generate([[5]], SamplingParams(max_tokens=2, ignore_eos=True))
+        assert good[0].error is None and good[0].token_ids == [6, 7]
+
+    def test_step_surfaces_rejects(self):
+        eng = self.engine()
+        eng.add_request(list(range(100)), SamplingParams(max_tokens=2))
+        step = eng.step()
+        assert len(step.outputs) == 1
+        sid, tokens = step.outputs[0]
+        assert tokens == [100]
+        assert eng.is_finished()
+
+    def test_max_model_len_finishes_sequence(self):
+        eng = self.engine(max_model_len=6)
+        out = eng.generate([[1, 2, 3]], SamplingParams(max_tokens=50, ignore_eos=True))
+        assert out[0].error is None
+        assert len(out[0].token_ids) == 3  # 3 prompt + 3 completion = 6
