@@ -96,7 +96,11 @@ class JaxModelRunner:
         self.max_blocks_per_seq = engine_config.max_blocks_per_seq
         self.decode_burst = max(1, engine_config.decode_burst)
         self.buckets = list(engine_config.prefill_buckets)
-        self._base_key = jax.random.key(engine_config.seed)
+        # The PRNG seed crosses the boundary as a plain uint32 (globally
+        # replicated under a mesh); the typed key is derived inside jit. A
+        # host-local typed key cannot feed a global-mesh jit in
+        # multi-controller runs.
+        self._key = self._put(np.uint32(engine_config.seed))
         self._step_counter = 0
 
         self._prefill_jit = jax.jit(
@@ -123,10 +127,12 @@ class JaxModelRunner:
         self,
         params,
         kv_cache,
-        key,  # rng key passed as arg (NOT a closure: closure constants get
-        #       embedded in the lowered HLO, which forces a device->host
-        #       fetch during *lowering* — and the first D2H of a process
-        #       stalls minutes on the tunneled chip; see utils/warmup)
+        seed,  # uint32 rng seed passed as arg (NOT a closure: closure
+        #       constants get embedded in the lowered HLO, which forces a
+        #       device->host fetch during *lowering* — and the first D2H of
+        #       a process stalls minutes on the tunneled chip; see
+        #       utils/warmup). The typed key is derived inside jit so
+        #       multi-host processes can feed a replicated plain scalar.
         tok_i32,  # [T, 5]: token_ids, positions, seg_ids, slot_mapping, ring_slot
         seq_i32,  # [B, 2]: logits_indices, top_k
         seq_f32,  # [B, 2]: temperature, top_p
@@ -148,19 +154,33 @@ class JaxModelRunner:
             config=self.config, mode="prefill", attn_impl=self.attn_impl,
         )
         logits = qwen3.compute_logits(params, hidden)
-        rng = jax.random.fold_in(key, step)
+        rng = jax.random.fold_in(jax.random.key(seed), step)
         tokens = sample_tokens(
             rng, logits, seq_f32[:, 0], seq_i32[:, 1], seq_f32[:, 1],
             max_top_k=self.engine_config.max_top_k,
             use_top_k=use_top_k, use_top_p=use_top_p,
         )
-        return tokens, kv_cache
+        return self._replicate_out(tokens), kv_cache
+
+    def _replicate_out(self, tokens):
+        """Constrain sampled tokens to a fully-replicated layout so every
+        host can ``device_get`` them (the dp-sharded batch would otherwise
+        leave each host holding only its own slots). Tokens are a few bytes;
+        the all-gather is noise and each host's scheduler needs all of them
+        for the SPMD-determinism contract."""
+        if self.mesh is None:
+            return tokens
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            tokens, NamedSharding(self.mesh, P())
+        )
 
     def _decode_step(
         self,
         params,
         kv_cache,
-        key,  # rng key as arg, not closure (see _prefill_step)
+        seed,  # uint32 rng seed as arg, not closure (see _prefill_step)
         seq_i32,  # [B, 5 + W]: token, position, slot, seq_len, top_k, block_table...
         seq_f32,  # [B, 2]: temperature, top_p
         prev_tokens,  # [B] device tokens from the previous burst (chained mode)
@@ -189,7 +209,7 @@ class JaxModelRunner:
         top_k = seq_i32[:, 4]
         block_tables = seq_i32[:, 5:]
         active = start_len > 0
-        burst_rng = jax.random.fold_in(key, step)
+        burst_rng = jax.random.fold_in(jax.random.key(seed), step)
 
         def body(carry, i):
             kv_cache, tokens = carry
@@ -227,7 +247,7 @@ class JaxModelRunner:
         (kv_cache, _), all_tokens = jax.lax.scan(
             body, (kv_cache, start_tokens), jnp.arange(K, dtype=jnp.int32)
         )
-        return all_tokens, kv_cache  # [K, B]
+        return self._replicate_out(all_tokens), kv_cache  # [K, B]
 
     # -- host-side batch assembly ---------------------------------------------
 
@@ -312,13 +332,25 @@ class JaxModelRunner:
             t += -(-L // G) * G  # advance past the sequence's GROUP padding
         return tok_i32
 
-    def _dp_sharding(self, row_sharded: bool):
+    def _put(self, x, spec=None):
+        """Place a host array on device. Under a mesh, EVERY input must be a
+        global array with an explicit sharding — in multi-controller runs
+        (jax.process_count() > 1) a bare ``jnp.asarray`` creates a
+        process-local array that cannot feed a global-mesh jit. ``spec``
+        None = fully replicated (every host passes identical values, the
+        SPMD-determinism contract of parallel/distributed.py)."""
         if self.mesh is None:
-            return None
+            return jnp.asarray(x)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        spec = P("dp", None) if row_sharded else P(None, None)
-        return NamedSharding(self.mesh, spec)
+        return jax.device_put(
+            np.asarray(x), NamedSharding(self.mesh, spec if spec is not None else P())
+        )
+
+    def _dp_spec(self):
+        from jax.sharding import PartitionSpec as P
+
+        return P("dp", None)
 
     # -- the ModelRunner interface (llm_engine.rs:16-18) ----------------------
 
@@ -330,16 +362,15 @@ class JaxModelRunner:
         if not is_prefill:
             return self.fetch_decode(self.dispatch_decode(seqs, chained=False))
 
-        step = jnp.int32(self._step_counter)
+        step = self._put(np.int32(self._step_counter))
         self._step_counter += 1
         seq_i32, seq_f32, use_top_k, use_top_p = self._seq_arrays(seqs, decode=False)
-        row_sh = self._dp_sharding(row_sharded=True)
         tok_i32 = self._build_prefill_tokens(seqs, seq_i32)
         tokens, self.kv_cache = self._prefill_jit(
-            self.params, self.kv_cache, self._base_key,
-            jnp.asarray(tok_i32),
-            jax.device_put(seq_i32, row_sh) if row_sh else jnp.asarray(seq_i32),
-            jax.device_put(seq_f32, row_sh) if row_sh else jnp.asarray(seq_f32),
+            self.params, self.kv_cache, self._key,
+            self._put(tok_i32),
+            self._put(seq_i32, self._dp_spec() if self.mesh else None),
+            self._put(seq_f32, self._dp_spec() if self.mesh else None),
             step, use_top_k=use_top_k, use_top_p=use_top_p,
         )
         host_tokens = np.asarray(jax.device_get(tokens))  # [B]
@@ -361,21 +392,20 @@ class JaxModelRunner:
         ``inflight`` bursts already dispatched but not yet fetched (the
         engine's pipeline depth minus one at steady state)."""
         assert self.block_manager is not None
-        step = jnp.int32(self._step_counter)
+        step = self._put(np.int32(self._step_counter))
         self._step_counter += 1
         offset = self.decode_burst * inflight if chained else 0
         seq_i32, seq_f32, use_top_k, use_top_p = self._seq_arrays(
             seqs, decode=True, pos_offset=offset
         )
-        row_sh = self._dp_sharding(row_sharded=True)
         if chained:
             prev = self._chain_tokens[-1]
         else:
-            prev = jnp.zeros((self.max_num_seqs,), jnp.int32)
+            prev = self._put(np.zeros((self.max_num_seqs,), np.int32))
         tokens, self.kv_cache = self._decode_jit(
-            self.params, self.kv_cache, self._base_key,
-            jax.device_put(seq_i32, row_sh) if row_sh else jnp.asarray(seq_i32),
-            jax.device_put(seq_f32, row_sh) if row_sh else jnp.asarray(seq_f32),
+            self.params, self.kv_cache, self._key,
+            self._put(seq_i32, self._dp_spec() if self.mesh else None),
+            self._put(seq_f32, self._dp_spec() if self.mesh else None),
             prev, step, chained=chained, use_top_k=use_top_k, use_top_p=use_top_p,
         )
         self._chain_tokens = tokens

@@ -113,11 +113,19 @@ def make_hybrid_mesh(
                 f"tp={tp} exceeds the {per_slice} ICI-connected devices per "
                 "slice; a tp group crossing DCN pays per-layer latency"
             )
-        arr = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(dp // num_slices, tp),
-            dcn_mesh_shape=(num_slices, 1),
-            devices=devices,
-        )
-        return Mesh(arr, axis_names=("dp", "tp"))
+        try:
+            arr = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(dp // num_slices, tp),
+                dcn_mesh_shape=(num_slices, 1),
+                devices=devices,
+            )
+            return Mesh(arr, axis_names=("dp", "tp"))
+        except ValueError as e:
+            # Devices without slice metadata (e.g. multi-process CPU, where
+            # every virtual device reports slice 0). jax.devices() orders by
+            # process, so a plain (dp, tp) reshape already keeps each tp
+            # group within one process — the property the hybrid mesh
+            # utility would have enforced.
+            logger.debug("hybrid mesh fallback (%s); using process-ordered reshape", e)
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
