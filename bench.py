@@ -52,10 +52,17 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--prompt-len", type=int, default=128)
     parser.add_argument("--decode-steps", type=int, default=128)
-    parser.add_argument("--block-size", type=int, default=128,
+    parser.add_argument("--block-size", type=int, default=256,
                         help="KV page size in tokens (bigger pages = bigger "
-                             "attention DMAs, fewer grid steps; 128 measured "
-                             "best on v5e with head-major pages)")
+                             "attention DMAs, fewer grid steps; 256 measured "
+                             "best on v5e — the decode kernel's per-grid-step "
+                             "fixed cost dominates below that)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel size (requires >= tp*dp real "
+                             "chips; shards heads/ffn/vocab over ICI)")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="data-parallel size (shards request slots; "
+                             "crosses hosts/DCN in multi-process runs)")
     parser.add_argument("--quantization", choices=["int8", "int4"],
                         help="weight-only quantization (BASELINE configs 2-4)")
     parser.add_argument("--kv-cache-dtype", default=None,
@@ -107,8 +114,22 @@ def main() -> None:
         enable_prefix_caching=False,  # distinct prompts; keep bench honest
         use_pallas_kernels=True,
     )
+    mesh = None
+    n_chips = args.tp * args.dp
+    if n_chips > 1:
+        # Scaling harness (BASELINE configs 4-5). On a multi-chip host this
+        # shards for real; tok/s/chip = value / n_chips. Multi-host runs
+        # launch one process per host (parallel/distributed.initialize) —
+        # each reports the same global tok/s.
+        from nano_vllm_candle_tpu.parallel.distributed import (
+            initialize, make_hybrid_mesh,
+        )
+
+        initialize()
+        mesh = make_hybrid_mesh(tp=args.tp, dp=args.dp)
+        eng.tp_size, eng.dp_size = args.tp, args.dp
     t0 = time.perf_counter()
-    llm = LLM(config=cfg, engine_config=eng)
+    llm = LLM(config=cfg, engine_config=eng, mesh=mesh)
     print(f"# init {time.perf_counter()-t0:.1f}s on {jax.devices()[0]}", file=sys.stderr)
 
     rng = np.random.default_rng(0)
@@ -166,8 +187,9 @@ def main() -> None:
 
     wtag = args.quantization or dtype
     kvtag = "_kvint8" if kv_dtype == "int8" else ""
+    chiptag = f"{n_chips}chip" if n_chips > 1 else "1chip"
     result = {
-        "metric": f"decode_tok_s_qwen3_{args.model}_{wtag}{kvtag}_bs{B}_1chip",
+        "metric": f"decode_tok_s_qwen3_{args.model}_{wtag}{kvtag}_bs{B}_{chiptag}",
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / sol_tok_s, 4),

@@ -184,9 +184,10 @@ class EngineConfig:
     # one dispatch per fused group. Applied only when mesh is None (a
     # contiguous tp split of a fused axis would mix segments).
     fuse_projections: bool = True
-    # Explicit attention impl override: "pallas" (group-commit ring + pallas
-    # kernels), "xla_ring" (ring + XLA twins; CPU-testable), "xla" (direct
-    # per-token cache writes, the numerics reference). None = auto.
+    # Explicit attention impl override: "pallas" (streaming kernels +
+    # fold-the-current-token commit-after-attention), "xla" (direct
+    # per-token cache writes, the CPU-testable numerics reference).
+    # None = auto (pallas on TPU).
     attn_impl: Optional[str] = None
     # parallelism (mesh axes); tp shards heads/ffn, dp shards request slots
     tp_size: int = 1

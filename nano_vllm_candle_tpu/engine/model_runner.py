@@ -59,11 +59,10 @@ class JaxModelRunner:
             on_tpu = jax.devices()[0].platform != "cpu"
             attn_impl = "pallas" if (engine_config.use_pallas_kernels and on_tpu) else "xla"
         self.attn_impl = attn_impl
-        self.ring_mode = attn_impl in qwen3.RING_IMPLS
-        if self.ring_mode and engine_config.kvcache_block_size % qwen3.GROUP:
+        if engine_config.kvcache_block_size % qwen3.GROUP:
             raise ValueError(
                 f"kvcache_block_size must be a multiple of {qwen3.GROUP} "
-                f"for attn_impl={attn_impl!r} (group-commit cache)"
+                "(page-commit window granularity)"
             )
 
         kv_dtype = jnp.dtype(engine_config.kv_cache_dtype)
@@ -72,8 +71,6 @@ class JaxModelRunner:
             engine_config.num_kvcache_blocks,
             engine_config.kvcache_block_size,
             kv_dtype,
-            ring_batch=engine_config.max_num_seqs if self.ring_mode else None,
-            ring_dtype=jnp.dtype(engine_config.dtype),
         )
         if mesh is None and engine_config.fuse_projections:
             from nano_vllm_candle_tpu.layers.linear import fuse_qwen3_params
@@ -133,7 +130,7 @@ class JaxModelRunner:
         #       a process stalls minutes on the tunneled chip; see
         #       utils/warmup). The typed key is derived inside jit so
         #       multi-host processes can feed a replicated plain scalar.
-        tok_i32,  # [T, 5]: token_ids, positions, seg_ids, slot_mapping, ring_slot
+        tok_i32,  # [T, 4]: token_ids, positions, seg_ids, slot_mapping
         seq_i32,  # [B, 2]: logits_indices, top_k
         seq_f32,  # [B, 2]: temperature, top_p
         step,
@@ -147,7 +144,6 @@ class JaxModelRunner:
             seg_ids=tok_i32[:, 2],
             slot_mapping=tok_i32[:, 3],
             logits_indices=seq_i32[:, 0],
-            ring_slots=tok_i32[:, 4],
         )
         hidden, kv_cache = qwen3.forward(
             params, kv_cache, batch,
@@ -287,6 +283,11 @@ class JaxModelRunner:
                 seq_i32[i, 3] = L
                 seq_i32[i, 4] = seq.top_k
                 seq_i32[i, 5 : 5 + nb] = seq.block_table
+                # Pad the row by repeating the last valid page: the decode
+                # kernel's index maps are bare table lookups (no clamping),
+                # and a repeated index makes Pallas skip the redundant DMA.
+                if nb:
+                    seq_i32[i, 5 + nb :] = seq.block_table[-1]
                 seq_f32[i, 0] = seq.temperature
                 seq_f32[i, 1] = seq.top_p
         else:
@@ -300,22 +301,21 @@ class JaxModelRunner:
         return seq_i32, seq_f32, use_top_k, use_top_p
 
     def _build_prefill_tokens(self, seqs: List[Sequence], seq_i32: np.ndarray):
-        """Packed token stream int32 [T, 5] (token, position, seg, slot,
-        ring_slot); fills logits_indices into seq_i32[:, 0].
+        """Packed token stream int32 [T, 4] (token, position, seg, slot);
+        fills logits_indices into seq_i32[:, 0].
 
-        Each sequence is padded to a multiple of GROUP so cache-commit
-        groups never straddle sequences and group starts stay GROUP-aligned
-        within a page (ring mode; harmless padding otherwise). The last up
-        to GROUP-1 real tokens of each sequence are its ring tail
-        (``ring_slot = position % GROUP``); everything else carries the
-        trash row GROUP.
+        Each sequence is padded to a multiple of GROUP so page-commit
+        windows never straddle sequences and window starts stay
+        GROUP-aligned within a page. A sequence's trailing padding rows are
+        garbage-committed into its own last page (masked by seq_len forever
+        after); inter-sequence padding keeps seg -1 / slot 0 and commits to
+        the null page.
         """
         G = qwen3.GROUP
         total = sum(-(-len(s) // G) * G for s in seqs)
         T = self._bucket(total)
-        tok_i32 = np.zeros((T, 5), np.int32)
+        tok_i32 = np.zeros((T, 4), np.int32)
         tok_i32[:, 2] = -1  # seg_id padding
-        tok_i32[:, 4] = G  # ring trash row
         t = 0
         for i, seq in enumerate(seqs):
             L = len(seq)
@@ -326,8 +326,6 @@ class JaxModelRunner:
             table = np.asarray(seq.block_table, np.int64)
             idx = np.arange(L)
             tok_i32[t : t + L, 3] = table[idx // bs] * bs + idx % bs
-            committed = (L // G) * G
-            tok_i32[t + committed : t + L, 4] = np.arange(committed, L) % G
             seq_i32[i, 0] = t + L - 1
             t += -(-L // G) * G  # advance past the sequence's GROUP padding
         return tok_i32

@@ -3,37 +3,49 @@
 Replaces the XLA gather fallback (``ops/attention.py:paged_decode_attention``,
 which materializes every sequence's gathered KV in HBM) with a streaming
 kernel: for each (sequence, page) grid step the Pallas pipeline DMAs exactly
-one KV page from HBM into VMEM — double-buffered automatically — while the
-kernel folds it into an online-softmax accumulator (flash-attention style,
-f32 statistics). KV is read once at HBM speed-of-light; nothing quadratic is
-ever materialized.
+one combined K+V page from HBM into VMEM — double-buffered ACROSS grid
+steps, so page ``t+1`` streams while page ``t`` is folded into the
+online-softmax accumulator (flash-attention style, f32 statistics). KV is
+read once at HBM speed; nothing quadratic is ever materialized.
 
-Design notes:
-- **Page gather via BlockSpec indirection**: the page index map reads the
-  (scalar-prefetched) block table, so the pipeline fetches physical pages in
-  block-table order. No manual DMA bookkeeping.
-- **Out-of-range clamping**: past a sequence's last page the index map
-  returns the last valid page again; Pallas skips re-fetching a block whose
-  index didn't change, so short sequences in a long-grid batch cost no extra
-  bandwidth, and compute is skipped with ``pl.when``.
-- **Head-major pages** (``[nkv, ps, hd]``, models/qwen3.KVCache): a fetched
-  page is directly the per-head matmul operand. The earlier token-major
-  layout needed two VMEM ``swapaxes`` per page (Mosaic's batched matmul
-  wants batch dims in equal operand positions), measured ~12% of the kernel.
+Round-2 design revisions, driven by measured per-grid-step scalar-core cost
+(~0.2 us per operand index map; at bs64 x W6 x 28 layers the round-1 grid
+burned ~4.5 ms/step in overhead alone, more than the KV stream itself):
+
+- **One combined K+V operand** (``[L, P, 2, nkv, ps, hd]``,
+  models/qwen3.KVCache): one DMA and one index map per page instead of two.
+- **Trivial index maps**: the caller pads each block-table row by repeating
+  its last valid page (inactive slots: page 0), so the per-step map is a
+  bare table lookup — no clamp arithmetic. Pallas skips re-fetching a block
+  whose index didn't change, so short sequences in a long-grid batch cost
+  no extra bandwidth, and compute is skipped with ``pl.when``.
+- **Packed q operand**: the query heads and the current token's k/v rows
+  travel as one ``[B, nkv, g+2, hd]`` block (q at ``[:, :g]``, k at ``g``,
+  v at ``g+1``) — one operand instead of three.
+- **Current token folded from registers**: attention covers pages holding
+  tokens ``[0, seq_len-1)`` plus the folded row, so the page commit
+  (``kernels/kv_commit.pallas_row_commit``) happens *after* attention and
+  needs no staging structure. This retires the round-1 group-commit ring
+  (ring arrays, ring-tail attention, fused ring-commit kernel — measured
+  1.4 ms/step of pure ring traffic at batch 64).
+- **Large pages amortize what fixed cost remains**: production block size
+  is 256 tokens — one ~0.5-1 MB contiguous DMA per page, grid = B x 1-2
+  for typical decode depths.
+- **Head-major pages and scales**: a fetched page is directly the per-head
+  matmul operand, and INT8 per-vector scales broadcast over scores with no
+  in-kernel transpose (a token-major scale transpose measured ~5x the whole
+  kernel).
 - **Native-dtype MXU**: q/k/v feed the MXU in their stored dtype (bf16 in
-  production) with f32 accumulation — ``preferred_element_type=f32``. An
-  earlier version upcast operands to f32 first, which forced the MXU's f32
-  path (several times fewer MACs/s) and cost ~30% end-to-end.
-- **GQA grouping**: q is ``[B, nkv, g, hd]``; scores are batched matmuls per
-  KV head — K/V are never expanded (the reference had to emulate
-  numpy.repeat semantics for this, ``/root/reference/src/models/
-  qwen3.rs:236-256``).
+  production) with f32 accumulation. INT8 pages are cast (exact in bf16)
+  and their scales fold into the small post-matmul tensors (k-scale into
+  scores, v-scale into p) — bit-identical to the XLA twin.
+- **GQA grouping**: scores are batched matmuls per KV head — K/V are never
+  expanded (the reference had to emulate numpy.repeat semantics for this,
+  ``/root/reference/src/models/qwen3.rs:236-256``).
 
 Numerics follow the online-softmax recurrence; masking uses
 ``-0.7 * f32_max`` (never ``-inf``) and the final division guards l == 0
-(inactive padding slots), matching the XLA reference twin at f32
-statistics (p is cast to the cache dtype for the PV matmul, same as the
-twin's ``weights.astype(v.dtype)``).
+(inactive padding slots), matching the XLA reference twin at f32 statistics.
 """
 
 from __future__ import annotations
@@ -52,31 +64,29 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 def _decode_kernel(
     # scalar prefetch
     li_ref,  # [1] int32 layer index into the stacked cache
-    seq_lens_ref,  # [B] int32 (committed length in ring mode)
-    block_tables_ref,  # [B, W] int32
-    *args,  # [total_lens_ref,] blocks..., outputs..., scratch...
+    seq_lens_ref,  # [B] int32 total context length INCLUDING the new token
+    block_tables_ref,  # [B, W] int32, rows padded with their last valid page
+    # blocks
+    qn_ref,  # [1, nkv, g+2, hd]: q heads + current k row + current v row
+    kv_ref,  # [1, 1, 2, nkv, ps, hd] combined page
+    *rest,  # [s_ref,] o_ref, m_ref, l_ref, acc_ref
     scale: float,
     page_size: int,
     num_pages_per_seq: int,
     quantized: bool,
-    return_stats: bool,
-    ring: bool,
 ):
-    if ring:
-        total_lens_ref, *args = args
-    q_ref, k_ref, v_ref, *rest = args
-    # q_ref [1, nkv, g, hd]; k/v_ref [1, 1, nkv, ps, hd]
     if quantized:
-        ks_ref, vs_ref, *rest = rest
-    if ring:
-        rk_ref, rv_ref, *rest = rest  # [1, 1, GROUP, nkv, hd]
-    if return_stats:
-        o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = rest
+        s_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
         o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     w = pl.program_id(1)
+    ps = page_size
+    _, nkv, g2, hd = qn_ref.shape
+    g = g2 - 2
+    nq = nkv * g
     seq_len = seq_lens_ref[b]
+    n_paged = seq_len - 1  # tokens living in pages (current token folded)
 
     @pl.when(w == 0)
     def _init():
@@ -84,42 +94,32 @@ def _decode_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(w * page_size < seq_len)
+    @pl.when(w * ps < n_paged)
     def _compute():
-        _, nkv, g, hd = q_ref.shape
-        nq = nkv * g
-        q = q_ref[0]  # [nkv, g, hd] — native dtype into the MXU
-        k = k_ref[0, 0]  # [nkv, ps, hd]
-        v = v_ref[0, 0]
+        q = qn_ref[0, :, :g]  # [nkv, g, hd] — native dtype into the MXU
+        k = kv_ref[0, 0, 0]  # [nkv, ps, hd]
+        v = kv_ref[0, 0, 1]
         ks = vs = None
         if quantized:
-            # int8 values are exact in bf16 — bare casts, then fold the
-            # per-vector scales into the small post-matmul tensors (k-scale
-            # into scores, v-scale into p; matches the XLA twin,
-            # ops/attention.py). Dequantizing whole [nkv, ps, hd] pages in
-            # f32 cost ~35% of the decode step at batch 64. Scale planes
-            # are token-major ([ps, nkv], commit-window tiling); one small
-            # 2D VMEM transpose recovers the head-major broadcast shape.
             cdt = q.dtype if q.dtype != jnp.int8 else jnp.bfloat16
-            ks = jnp.swapaxes(ks_ref[0, 0], 0, 1)  # [nkv, ps] f32
-            vs = jnp.swapaxes(vs_ref[0, 0], 0, 1)
+            ks = s_ref[0, 0, 0]  # [nkv, ps] f32, head-major: direct broadcast
+            vs = s_ref[0, 0, 1]
             k = k.astype(cdt)
             v = v.astype(cdt)
 
-        # scores[nkv, g, ps]
         s = jax.lax.dot_general(
             q, k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale
+        ) * scale  # [nkv, g, ps]
         if ks is not None:
             s = s * ks[:, None, :]
 
-        token_idx = w * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (nkv, g, page_size), 2
+        token_idx = w * ps + jax.lax.broadcasted_iota(
+            jnp.int32, (nkv, g, ps), 2
         )
-        s = jnp.where(token_idx < seq_len, s, MASK_VALUE)
-        s2 = s.reshape(nq, page_size)
+        s = jnp.where(token_idx < n_paged, s, MASK_VALUE)
+        s2 = s.reshape(nq, ps)
 
         m_prev = m_ref[:, :1]  # [nq, 1]
         l_prev = l_ref[:, :1]
@@ -132,7 +132,7 @@ def _decode_kernel(
         m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
         l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
-        p3 = p.reshape(nkv, g, page_size)
+        p3 = p.reshape(nkv, g, ps)
         if vs is not None:
             p3 = p3 * vs[:, None, :]
         pv = jax.lax.dot_general(
@@ -142,78 +142,58 @@ def _decode_kernel(
         ).reshape(nq, hd)
         acc_ref[...] = acc_ref[...] * alpha + pv
 
-    if ring:
-        @pl.when(w == num_pages_per_seq)
-        def _ring_tail():
-            # Uncommitted tail: ring row j holds position committed + j in
-            # the ACTIVATION dtype (no dequant scales even under int8 KV).
-            _, nkv, g, hd = q_ref.shape
-            nq = nkv * g
-            G = rk_ref.shape[2]
-            q = q_ref[0]
-            k = jnp.swapaxes(rk_ref[0, 0], 0, 1)  # [nkv, GROUP, hd]
-            v = jnp.swapaxes(rv_ref[0, 0], 0, 1)
-            s = jax.lax.dot_general(
-                q, k.astype(q.dtype),
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ) * scale  # [nkv, g, GROUP]
-            n_tail = total_lens_ref[b] - seq_len
-            j = jax.lax.broadcasted_iota(jnp.int32, (nkv, g, G), 2)
-            s = jnp.where(j < n_tail, s, MASK_VALUE)
-            s2 = s.reshape(nq, G)
-            m_prev = m_ref[:, :1]
-            l_prev = l_ref[:, :1]
-            m_curr = jnp.max(s2, axis=-1, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s2 - m_next)
-            p = jnp.where(j.reshape(nq, G) < n_tail, p, 0.0)
-            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-            m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
-            l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
-            pv = jax.lax.dot_general(
-                p.reshape(nkv, g, G).astype(v.dtype), v,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).reshape(nq, hd)
-            acc_ref[...] = acc_ref[...] * alpha + pv
+    @pl.when(w == num_pages_per_seq - 1)
+    def _fold_new_and_finalize():
+        # Fold the current token (exact activation-dtype row, no page round
+        # trip), then normalize and emit.
+        q = qn_ref[0, :, :g]
+        k_new = qn_ref[0, :, g]  # [nkv, hd]
+        v_new = qn_ref[0, :, g + 1]
+        s_new = jnp.sum(
+            q.astype(jnp.float32) * k_new.astype(jnp.float32)[:, None, :],
+            axis=-1,
+        ) * scale  # [nkv, g]
+        s2 = s_new.reshape(nq, 1)
+        active = seq_len > 0
+        s2 = jnp.where(active, s2, MASK_VALUE)
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_next = jnp.maximum(m_prev, s2)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s2 - m_next)
+        p = jnp.where(active, p, 0.0)
+        l = alpha * l_prev + p
+        vb = jnp.broadcast_to(
+            v_new.astype(jnp.float32)[:, None, :], (nkv, g, hd)
+        ).reshape(nq, hd)
+        acc = acc_ref[...] * alpha + p * vb
 
-    @pl.when(w == num_pages_per_seq - 1 + int(ring))
-    def _finalize():
-        _, nkv, g, hd = o_ref.shape
-        l = l_ref[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
-        out = (acc_ref[...] / safe_l).reshape(nkv, g, hd)
-        o_ref[0] = out.astype(o_ref.dtype)
-        if return_stats:
-            # Full (nq, 128)-broadcast stats blocks (tile-aligned output);
-            # callers read column 0.
-            mo_ref[0] = m_ref[...]
-            lo_ref[0] = l_ref[...]
+        o_ref[0] = (acc / safe_l).reshape(nkv, g, hd).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("scale", "interpret", "return_stats")
-)
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def pallas_paged_decode_attention(
     q: jax.Array,  # [B, nq, hd]
-    k_cache: jax.Array,  # [L, P, nkv, ps, hd] (or [P, nkv, ps, hd], layer 0)
-    v_cache: jax.Array,
-    block_tables: jax.Array,  # [B, W] int32
-    seq_lens: jax.Array,  # [B] int32
+    kv_cache: jax.Array,  # [L, P, 2, nkv, ps, hd] (or rank 5: layer 0)
+    block_tables: jax.Array,  # [B, W] int32, rows padded w/ last valid page
+    seq_lens: jax.Array,  # [B] int32 total length INCLUDING the current token
     scale: float,
+    new_k: jax.Array = None,  # [B, nkv, hd] current token's k (activation dtype)
+    new_v: jax.Array = None,
     *,
-    k_scale: Optional[jax.Array] = None,  # [L, P, ps, nkv] f32 (int8 KV)
-    v_scale: Optional[jax.Array] = None,
+    kv_scale: Optional[jax.Array] = None,  # [L, P, 2, nkv, ps] f32 (int8 KV)
     layer_index: Optional[jax.Array] = None,
-    ring_k: Optional[jax.Array] = None,  # [L, B, GROUP+1, nkv, hd]
-    ring_v: Optional[jax.Array] = None,
-    total_lens: Optional[jax.Array] = None,  # [B] int32 incl. ring tail
     interpret: bool = False,
-    return_stats: bool = False,
 ):
     """Decode attention against one layer of the full stacked paged cache.
+
+    Pages must hold tokens ``[0, seq_lens - 1)``; the current token's k/v
+    arrive as ``new_k``/``new_v`` and are folded in-kernel, so the page
+    commit (``kernels/kv_commit.pallas_row_commit``) happens *after*
+    attention with no staging structure. Block-table rows must be padded by
+    repeating their last valid page (inactive rows: all zeros) — the index
+    maps do no clamping.
 
     Taking the stacked ``[L, ...]`` cache + a runtime ``layer_index`` (rather
     than a pre-sliced layer) lets the surrounding ``lax.scan`` keep the cache
@@ -221,123 +201,69 @@ def pallas_paged_decode_attention(
     the BlockSpec index map, so only the block-table-addressed pages of layer
     ``layer_index`` are ever DMA'd.
 
-    INT8 caches pass ``k_scale``/``v_scale``; dequantization happens in VMEM
-    right after the page DMA, so the HBM read is genuinely half-width.
-
-    ``return_stats=True`` additionally returns the online-softmax statistics
-    ``(m, l)`` as f32 ``[B, nq]`` (row max and exp-sum), letting the caller
-    merge this partial attention with another source via the flash combine
-    identity. With stats, ``out`` is still normalized by ``l``.
-
-    ``ring_k``/``ring_v`` + ``total_lens`` fold the group-commit ring's
-    uncommitted tail (positions ``[seq_lens, total_lens)``) INTO the kernel
-    as one extra grid step per slot — replacing the XLA-side
-    ``_ring_attention`` + flash combine (and their per-layer ring-slice
-    copies and ``[B, nq, 128]`` stats round trips) with a 64 KB VMEM block
-    that is fetched once per (layer, slot). ``seq_lens`` is then the
-    COMMITTED length.
+    INT8 caches pass ``kv_scale``; the scales fold into scores/weights in
+    VMEM right after the page DMA, so the HBM read is genuinely half-width.
     """
     B, nq, hd = q.shape
-    quantized = k_scale is not None
-    ring = ring_k is not None
-    if k_cache.ndim == 4:  # single-layer convenience form (tests)
-        k_cache = k_cache[None]
-        v_cache = v_cache[None]
+    quantized = kv_scale is not None
+    if kv_cache.ndim == 5:  # single-layer convenience form (tests)
+        kv_cache = kv_cache[None]
         if quantized:
-            k_scale = k_scale[None]
-            v_scale = v_scale[None]
+            kv_scale = kv_scale[None]
         layer_index = jnp.zeros((), jnp.int32)
-    L, P, nkv, ps, _ = k_cache.shape
+    L, P, _, nkv, ps, _ = kv_cache.shape
     g = nq // nkv
     W = block_tables.shape[1]
-    qg = q.reshape(B, nkv, g, hd)
+    qn = jnp.concatenate(
+        [
+            q.reshape(B, nkv, g, hd),
+            new_k.reshape(B, nkv, 1, hd).astype(q.dtype),
+            new_v.reshape(B, nkv, 1, hd).astype(q.dtype),
+        ],
+        axis=2,
+    )  # [B, nkv, g+2, hd]
     li = jnp.asarray(layer_index, jnp.int32).reshape(1)
 
-    def q_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref, *_):
+    def qn_map(b, w, *_):
         return (b, 0, 0, 0)
 
-    def kv_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref, *_):
-        # Clamp past-the-end pages to the last valid page: the repeated block
-        # index makes the Pallas pipeline skip the redundant DMA.
-        last = jnp.maximum(pl.cdiv(seq_lens_ref[b], ps) - 1, 0)
-        w_eff = jnp.minimum(w, last)
-        return (li_ref[0], block_tables_ref[b, w_eff], 0, 0, 0)
+    def kv_map(b, w, li_ref, seq_lens_ref, block_tables_ref):
+        return (li_ref[0], block_tables_ref[b, w], 0, 0, 0, 0)
 
-    def scale_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref, *_):
-        last = jnp.maximum(pl.cdiv(seq_lens_ref[b], ps) - 1, 0)
-        w_eff = jnp.minimum(w, last)
-        return (li_ref[0], block_tables_ref[b, w_eff], 0, 0)
+    def s_map(b, w, li_ref, seq_lens_ref, block_tables_ref):
+        return (li_ref[0], block_tables_ref[b, w], 0, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, nkv, g, hd), q_index_map),
-        pl.BlockSpec((1, 1, nkv, ps, hd), kv_index_map),
-        pl.BlockSpec((1, 1, nkv, ps, hd), kv_index_map),
+        pl.BlockSpec((1, nkv, g + 2, hd), qn_map),
+        pl.BlockSpec((1, 1, 2, nkv, ps, hd), kv_map),
     ]
-    operands = [qg, k_cache, v_cache]
+    operands = [qn, kv_cache]
     if quantized:
-        in_specs += [
-            pl.BlockSpec((1, 1, ps, nkv), scale_index_map),
-            pl.BlockSpec((1, 1, ps, nkv), scale_index_map),
-        ]
-        operands += [k_scale, v_scale]
-    if ring:
-        GR = ring_k.shape[2] - 1  # ring rows minus the trash row
-
-        def ring_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref, *_):
-            return (li_ref[0], b, 0, 0, 0)
-
-        in_specs += [
-            pl.BlockSpec((1, 1, GR, nkv, hd), ring_index_map),
-            pl.BlockSpec((1, 1, GR, nkv, hd), ring_index_map),
-        ]
-        operands += [ring_k, ring_v]
+        in_specs.append(pl.BlockSpec((1, 1, 2, nkv, ps), s_map))
+        operands.append(kv_scale)
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, page_size=ps, num_pages_per_seq=W,
-        quantized=quantized, return_stats=return_stats, ring=ring,
+        quantized=quantized,
     )
-    out_dtype = q.dtype
-    nq_ = nkv * g
-    out_shape = jax.ShapeDtypeStruct((B, nkv, g, hd), out_dtype)
-    out_specs = pl.BlockSpec((1, nkv, g, hd), q_index_map)
-    if return_stats:
-        def stat_index_map(b, w, li_ref, seq_lens_ref, block_tables_ref, *_):
-            return (b, 0, 0)
-
-        out_shape = (
-            out_shape,
-            jax.ShapeDtypeStruct((B, nq_, 128), jnp.float32),
-            jax.ShapeDtypeStruct((B, nq_, 128), jnp.float32),
-        )
-        out_specs = (
-            out_specs,
-            pl.BlockSpec((1, nq_, 128), stat_index_map),
-            pl.BlockSpec((1, nq_, 128), stat_index_map),
-        )
-    scalars = [li, seq_lens, block_tables]
-    if ring:
-        scalars.append(total_lens.astype(jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=len(scalars),
-        grid=(B, W + int(ring)),
+        num_scalar_prefetch=3,
+        grid=(B, W),
         in_specs=in_specs,
-        out_specs=out_specs,
+        out_specs=pl.BlockSpec((1, nkv, g, hd), qn_map),
         scratch_shapes=[
-            pltpu.VMEM((nq_, 128), jnp.float32),  # m
-            pltpu.VMEM((nq_, 128), jnp.float32),  # l
-            pltpu.VMEM((nq_, hd), jnp.float32),  # acc
+            pltpu.VMEM((nq, 128), jnp.float32),  # m
+            pltpu.VMEM((nq, 128), jnp.float32),  # l
+            pltpu.VMEM((nq, hd), jnp.float32),  # acc
         ],
     )
     res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=jax.ShapeDtypeStruct((B, nkv, g, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(*scalars, *operands)
-    if return_stats:
-        out, m, l = res
-        return out.reshape(B, nq, hd), m[:, :, 0], l[:, :, 0]
+    )(li, seq_lens, block_tables, *operands)
     return res.reshape(B, nq, hd)

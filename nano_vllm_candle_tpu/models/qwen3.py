@@ -47,13 +47,14 @@ from nano_vllm_candle_tpu.ops.rotary import apply_rope_positions, build_rope_tab
 Params = Dict[str, Any]
 
 
-#: Cache-commit group: page writes happen in aligned runs of this many
-#: tokens so every committed window is whole physical tiles — the only
-#: write granularity that avoids read-modify-write into the head-major page
-#: layout. 32 covers every cache dtype's sublane tiling (int8 (32,128) = 1
-#: tile, bf16 (16,128) = 2, f32 (8,128) = 4). Pages must be a multiple of
-#: this (asserted by the runner).
-GROUP = 32
+#: Prefill page-commit granularity: the packed prefill stream pads each
+#: sequence to a multiple of this so page writes happen as aligned 8-row
+#: windows (one f32 sublane tile; bf16/int8 tiles are taller, but an 8-row
+#: window at an 8-aligned offset is still a legal Mosaic block for every
+#: cache dtype). Decode commits single rows via an 8-row read-modify-write
+#: window (kernels/kv_commit.pallas_row_commit). Pages must be a multiple
+#: of this (asserted by the runner).
+GROUP = 8
 
 
 class PrefillBatch(NamedTuple):
@@ -64,10 +65,6 @@ class PrefillBatch(NamedTuple):
     seg_ids: jax.Array  # [T] int32, -1 for padding
     slot_mapping: jax.Array  # [T] int32 flat cache slot (page*page_size+off)
     logits_indices: jax.Array  # [B] int32 token index of each seq's last token
-    # Ring-mode only (group-commit cache): ring row for tail tokens
-    # (position >= the sequence's last full GROUP boundary), GROUP = trash
-    # row for everything else. None in direct-write mode.
-    ring_slots: Optional[jax.Array] = None  # [T] int32 in [0, GROUP]
 
 
 class DecodeBatch(NamedTuple):
@@ -83,46 +80,38 @@ class DecodeBatch(NamedTuple):
 class KVCache(NamedTuple):
     """Paged KV cache; optionally INT8-quantized with per-vector scales.
 
-    ``k``/``v``: ``[L, num_pages, num_kv_heads, page_size, head_dim]``
-    (bf16/f32, or int8 when quantized). ``k_scale``/``v_scale``:
-    ``[L, num_pages, page_size, num_kv_heads]`` f32 per-stored-vector
-    scales, or None for unquantized caches. INT8 KV halves the HBM
-    bandwidth per decoded token — the dominant cost at long context.
-    Scale planes are *token-major* (``[ps, nkv]``, opposite of the pages):
-    a GROUP commit then writes a ``(GROUP, nkv)`` window whose trailing
-    dims satisfy Mosaic's (8, 128)-divisible-or-full-dim block rule for any
-    ``page_size`` — the head-major ``[nkv, ps]`` order would need a
-    ``(nkv, GROUP)`` block, illegal whenever GROUP < min(ps, 128).
+    ``kv``: ``[L, num_pages, 2, num_kv_heads, page_size, head_dim]``
+    (bf16/f32, or int8 when quantized) — K at index 0 of the combined axis,
+    V at index 1. ``kv_scale``: ``[L, num_pages, 2, num_kv_heads,
+    page_size]`` f32 per-stored-vector scales, or None for unquantized
+    caches. INT8 KV halves the HBM bandwidth per decoded token — the
+    dominant cost at long context.
 
-    Axis order is deliberate: pages are **head-major** (``[nkv, ps, hd]``),
-    so a fetched page is directly the per-head ``[ps, hd]`` operand the
-    decode kernel's batched matmuls need — no in-kernel transpose (the
-    token-major ``[ps, nkv, hd]`` order cost two VMEM swapaxes per page per
-    layer, measured ~12% of the kernel; a fully head-major *cache*
-    ``[L, nkv, P, ps, hd]`` was worse still — XLA relayouts the whole cache
-    around the scatter). The write side scatters one ``[nkv, hd]`` plane per
-    token at stride ``ps·hd``, which XLA lowers to per-head row writes
-    without relayout.
+    Axis order is deliberate (round-2 measurements):
+
+    - **K and V combined in one array**: the decode kernel fetches one
+      contiguous ``[2, nkv, ps, hd]`` block per page — ONE DMA and ONE
+      BlockSpec index map instead of two. Per-grid-step scalar-core cost
+      (~0.2 us per operand index map) was a first-order term at batch 64.
+    - **Head-major pages** (``[nkv, ps, hd]``): a fetched page is directly
+      the per-head ``[ps, hd]`` matmul operand — no in-kernel transpose
+      (token-major cost two VMEM swapaxes per page, measured ~12%).
+    - **Head-major scales** (``[nkv, ps]``): read by the decode kernel as a
+      direct broadcast over scores; the token-major orientation needed an
+      in-kernel 2D transpose measured at ~5x the whole attention cost.
+
+    Single-token decode writes use an 8-row read-modify-write window
+    (``kernels/kv_commit.pallas_row_commit``) — sub-tile token rows cannot
+    be written directly into the (8,128)-tiled page layout, and XLA lowers
+    the equivalent scatter to a serialized full-cache select loop.
     """
 
-    k: jax.Array
-    v: jax.Array
-    k_scale: Optional[jax.Array] = None
-    v_scale: Optional[jax.Array] = None
-    # Group-commit staging ring (ring mode only): ``[L, B, GROUP + 1, nkv,
-    # hd]`` in the ACTIVATION dtype (bf16 even under int8 paged storage —
-    # quantization happens at group commit). Ring row ``pos % GROUP`` holds
-    # the not-yet-committed tail of each slot's sequence; row GROUP is a
-    # trash row for non-tail prefill writes. Per-token ring writes land on
-    # the minor ``[nkv, hd]`` dims — whole tiles, so the scatter is cheap —
-    # and whole groups commit to pages as aligned ``[nkv, GROUP, hd]``
-    # windows.
-    ring_k: Optional[jax.Array] = None
-    ring_v: Optional[jax.Array] = None
+    kv: jax.Array
+    kv_scale: Optional[jax.Array] = None
 
     @property
     def quantized(self) -> bool:
-        return self.k_scale is not None
+        return self.kv_scale is not None
 
 
 def init_kv_cache(
@@ -130,43 +119,22 @@ def init_kv_cache(
     num_pages: int,
     page_size: int,
     dtype: jnp.dtype = jnp.bfloat16,
-    *,
-    ring_batch: Optional[int] = None,
-    ring_dtype: jnp.dtype = jnp.bfloat16,
 ) -> KVCache:
-    """Allocate the paged cache; ``ring_batch=B`` adds the group-commit
-    staging ring (required for the ring-mode attention impls)."""
+    """Allocate the paged cache (combined K/V; see KVCache docstring)."""
     shape = (
         config.num_hidden_layers,
         num_pages,
+        2,
         config.num_key_value_heads,
         page_size,
         config.head_dim,
     )
-    rings = {}
-    if ring_batch is not None:
-        rshape = (
-            config.num_hidden_layers,
-            ring_batch,
-            GROUP + 1,
-            config.num_key_value_heads,
-            config.head_dim,
-        )
-        rings = dict(
-            ring_k=jnp.zeros(rshape, ring_dtype),
-            ring_v=jnp.zeros(rshape, ring_dtype),
-        )
     if jnp.dtype(dtype) == jnp.int8:
-        # Token-major scale planes [L, P, ps, nkv] (see KVCache docstring)
-        sshape = (shape[0], shape[1], shape[3], shape[2])
         return KVCache(
             jnp.zeros(shape, jnp.int8),
-            jnp.zeros(shape, jnp.int8),
-            jnp.zeros(sshape, jnp.float32),
-            jnp.zeros(sshape, jnp.float32),
-            **rings,
+            jnp.zeros(shape[:-1], jnp.float32),
         )
-    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), **rings)
+    return KVCache(jnp.zeros(shape, dtype))
 
 
 # --------------------------------------------------------------------------
@@ -236,21 +204,20 @@ def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _write_kv(
-    kk: jax.Array,  # [L, P, nkv, ps, hd] full stacked cache (head-major pages)
-    vv: jax.Array,
-    kcs: Optional[jax.Array],  # [L, P, ps, nkv] or None
-    vcs: Optional[jax.Array],
+    kv: jax.Array,  # [L, P, 2, nkv, ps, hd] full stacked combined cache
+    kvs: Optional[jax.Array],  # [L, P, 2, nkv, ps] or None
     k: jax.Array,  # [T, nkv, hd] new rows
     v: jax.Array,
     slot_mapping: jax.Array,  # [T] flat slots (page*page_size + offset)
     li: jax.Array,  # scalar layer index
 ):
     """Scatter new k/v rows into layer ``li`` of the full paged cache,
-    **in place on the scan carry**.
+    **in place on the scan carry** (the XLA twin of the Pallas commit
+    kernels; used on CPU / for numerics reference).
 
     The cache never leaves the carry: one scatter writes ``T`` per-token
-    ``[nkv, hd]`` planes and nothing else moves. (An earlier design threaded
-    per-layer caches through ``lax.scan`` xs/ys, which made XLA
+    ``[2, nkv, hd]`` windows and nothing else moves. (An earlier design
+    threaded per-layer caches through ``lax.scan`` xs/ys, which made XLA
     re-materialize the entire cache every step — profiled at ~1 GB of HBM
     traffic per decode step for ~100 KB of actual KV data.)
 
@@ -258,194 +225,73 @@ def _write_kv(
     unconditional. For int8 caches, values are quantized per vector and
     scales scattered alongside.
     """
-    L, P, nkv, ps, hd = kk.shape
-    pages = (slot_mapping // ps)[:, None]  # [T, 1]
-    offs = (slot_mapping % ps)[:, None]
-    heads = jnp.arange(nkv, dtype=jnp.int32)[None, :]  # [1, nkv]
-    # All advanced indices ([T,1] pages, [1,nkv] heads, [T,1] offs) are
-    # adjacent and broadcast to [T, nkv]; the scatter windows are contiguous
-    # [hd] rows, so XLA keeps the cache in its default (kernel-required)
-    # layout. (A separated-index form ``at[li, pages, :, offs]`` made XLA
-    # relayout the ENTIRE cache around the scatter — ~800 ms/step.)
-    if kcs is not None:
-        k, k_scale = _quantize_kv(k)  # scales [T, nkv]
-        v, v_scale = _quantize_kv(v)
-        # token-major scale planes [L, P, ps, nkv]
-        kcs = kcs.at[li, pages, offs, heads].set(k_scale, mode="drop")
-        vcs = vcs.at[li, pages, offs, heads].set(v_scale, mode="drop")
-    kk = kk.at[li, pages, heads, offs].set(k, mode="drop")
-    vv = vv.at[li, pages, heads, offs].set(v, mode="drop")
-    return kk, vv, kcs, vcs
+    L, P, _, nkv, ps, hd = kv.shape
+    pages = (slot_mapping // ps)[:, None, None]  # [T, 1, 1]
+    offs = (slot_mapping % ps)[:, None, None]
+    sel = jnp.arange(2, dtype=jnp.int32)[None, :, None]  # [1, 2, 1]
+    heads = jnp.arange(nkv, dtype=jnp.int32)[None, None, :]  # [1, 1, nkv]
+    # All advanced indices broadcast to [T, 2, nkv] and are adjacent, so the
+    # scatter windows are contiguous [hd] rows and XLA keeps the cache in
+    # its default layout. (A separated-index form made XLA relayout the
+    # ENTIRE cache around the scatter — ~800 ms/step.)
+    rows = jnp.stack([k, v], axis=1)  # [T, 2, nkv, hd]
+    if kvs is not None:
+        qrows, scales = _quantize_kv(rows)  # scales [T, 2, nkv]
+        kvs = kvs.at[li, pages, sel, heads, offs].set(scales, mode="drop")
+        rows = qrows
+    kv = kv.at[li, pages, sel, heads, offs].set(
+        rows.astype(kv.dtype), mode="drop"
+    )
+    return kv, kvs
 
 
 # --------------------------------------------------------------------------
-# Group-commit ring (the write path for the Pallas/ring attention impls)
+# Page commit (the write path for the Pallas attention impl)
 #
 # Single-token writes into the head-major page layout are sub-tile (a token
 # is one ps-row of a (8,128)(2,1)-tiled [ps, hd] plane), which XLA lowers to
-# an expensive per-index RMW scatter (~0.6 ms/step measured at bs16). In
-# ring mode, tokens stage in the tile-aligned ring (KVCache.ring_k docs) and
-# pages receive only whole [nkv, GROUP, hd] windows — full physical tiles.
+# an expensive per-index RMW scatter (~0.6 ms/step measured at bs16).
+# Prefill commits aligned GROUP(=8)-row windows (the stream is padded per
+# sequence, partial tails garbage-padded inside the sequence's own page and
+# masked by seq_len); decode commits one row per slot via an 8-row
+# read-modify-write window (kernels/kv_commit.pallas_row_commit).
 # --------------------------------------------------------------------------
 
 
-def _scatter_groups(cache, updates, li_col, pages, offs, *, promise=True):
-    """Scatter GROUP windows into the paged arrays at rows
-    ``(li, page, off)``. Rank-5 page data: ``updates [N, nkv, GROUP, hd]``
-    into ``cache [L, P, nkv, ps, hd]``. Rank-4 int8 scale planes:
-    ``updates [N, nkv, GROUP]`` into the token-major
-    ``cache [L, P, ps, nkv]`` (transposed here).
-    """
-    if cache.ndim == 4:
-        updates = jnp.swapaxes(updates, 1, 2)  # [N, GROUP, nkv]
-        off_operand_dim = 2
-    else:
-        off_operand_dim = 3
-    n_win = updates.ndim - 1  # window dims in the update
-    idx = jnp.stack(
-        [li_col, pages.astype(jnp.int32), offs.astype(jnp.int32)], axis=-1
-    )
-    dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=tuple(range(1, 1 + n_win)),
-        inserted_window_dims=(0, 1),
-        scatter_dims_to_operand_dims=(0, 1, off_operand_dim),
-    )
-    return jax.lax.scatter(
-        cache, idx, updates.astype(cache.dtype), dnums,
-        indices_are_sorted=False, unique_indices=False,
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS if promise
-        else jax.lax.GatherScatterMode.FILL_OR_DROP,
-    )
+def _commit_prefill_groups(kv, kvs, k, v, slot_mapping, seg_ids, li, ps):
+    """Commit every GROUP window of the packed prefill stream to its page.
 
-
-def _commit_windows(
-    kk, vv, kcs, vcs, upd_k, upd_v, li, pages, offs, use_kernel
-):
-    """Write N aligned ``[nkv, GROUP, hd]`` windows (``upd_k/v [N, nkv,
-    GROUP, hd]``, activation dtype) into the caches at ``(li, page, off)``.
-
-    ``use_kernel=True`` routes through the Pallas aliased-output commit
-    kernel (kernels/kv_commit.py) — XLA lowers the equivalent
-    ``lax.scatter`` to a serialized select + full-cache DUS loop costing
-    more than the attention itself. The scatter form remains for the
-    CPU-testable ``xla_ring`` impl.
-    """
-    quant = kcs is not None
-    sk = sv = None
-    if quant:
-        upd_k, sk = _quantize_kv(upd_k)  # scales [N, nkv, GROUP]
-        upd_v, sv = _quantize_kv(upd_v)
-    if use_kernel:
-        from nano_vllm_candle_tpu.kernels.kv_commit import pallas_commit_groups
-
-        out = pallas_commit_groups(
-            kk, vv, upd_k, upd_v, li, pages, offs,
-            k_scale_cache=kcs, v_scale_cache=vcs,
-            k_scale_upd=sk, v_scale_upd=sv,
-        )
-        if quant:
-            return out
-        return out[0], out[1], None, None
-    N = pages.shape[0]
-    li_col = jnp.full((N,), li, jnp.int32)
-    if quant:
-        kcs = _scatter_groups(kcs, sk, li_col, pages, offs)
-        vcs = _scatter_groups(vcs, sv, li_col, pages, offs)
-    kk = _scatter_groups(kk, upd_k, li_col, pages, offs)
-    vv = _scatter_groups(vv, upd_v, li_col, pages, offs)
-    return kk, vv, kcs, vcs
-
-
-def _commit_prefill_groups(
-    kk, vv, kcs, vcs, k, v, slot_mapping, ring_slots, li, ps, use_kernel
-):
-    """Commit every full GROUP of the packed prefill stream to its page.
-
-    The runner pads each sequence to a GROUP multiple, so groups never
-    straddle sequences and group-start slots are GROUP-aligned within a
-    page. A group whose first token is a tail token (``ring_slots < GROUP``)
-    or stream padding (slot 0) targets the null page instead.
+    The runner pads each sequence to a GROUP multiple, so windows never
+    straddle sequences and window-start slots are GROUP-aligned within a
+    page. A window whose first token is stream padding (seg -1) targets the
+    null page; rows past a sequence's real length land inside its own last
+    page (ps is a GROUP multiple) and are masked by seq_len forever after.
     """
     T = k.shape[0]
     nG = T // GROUP
     first_slot = slot_mapping[::GROUP]  # [nG]
-    full = ring_slots[::GROUP] == GROUP
-    pages = jnp.where(full, first_slot // ps, 0)
-    offs = jnp.where(full, first_slot % ps, 0)
+    real = seg_ids[::GROUP] >= 0
+    pages = jnp.where(real, first_slot // ps, 0)
+    offs = jnp.where(real, first_slot % ps, 0)
 
-    def regroup(x):  # [T, nkv, hd] -> [nG, nkv, GROUP, hd]
-        return jnp.swapaxes(x.reshape(nG, GROUP, *x.shape[1:]), 1, 2)
+    # [T, nkv, hd] x2 -> [nG, 2, nkv, GROUP, hd]
+    rows = jnp.stack([k, v], axis=1).reshape(nG, GROUP, 2, *k.shape[1:])
+    upd = rows.transpose(0, 2, 3, 1, 4)
+    scales = None
+    if kvs is not None:
+        upd, scales = _quantize_kv(upd)  # scales [nG, 2, nkv, GROUP]
 
-    return _commit_windows(
-        kk, vv, kcs, vcs, regroup(k), regroup(v), li, pages, offs, use_kernel
-    )
+    from nano_vllm_candle_tpu.kernels.kv_commit import pallas_commit_groups
 
+    return pallas_commit_groups(kv, upd, li, pages, offs, kvs, scales)
 
-def _commit_decode_group(
-    kk, vv, kcs, vcs, rk_l, rv_l, li, n, block_tables, ps, use_kernel
-):
-    """When a slot's length ``n`` crosses a GROUP boundary, commit its full
-    ring (positions n-GROUP..n-1, which occupy ring rows 0..GROUP-1 in
-    position order) to the page; other slots write their window into the
-    null page."""
-    flush = (n > 0) & (n % GROUP == 0)
-    start = jnp.maximum(n - GROUP, 0)
-    page = jnp.take_along_axis(block_tables, (start // ps)[:, None], 1)[:, 0]
-    pages = jnp.where(flush, page, 0)
-    offs = jnp.where(flush, start % ps, 0)
-    upd_k = jnp.swapaxes(rk_l[:, :GROUP], 1, 2)  # [B, nkv, GROUP, hd]
-    upd_v = jnp.swapaxes(rv_l[:, :GROUP], 1, 2)
-    return _commit_windows(
-        kk, vv, kcs, vcs, upd_k, upd_v, li, pages, offs, use_kernel
-    )
-
-
-def _ring_attention(q, ring_k, ring_v, n, committed, scale):
-    """Attention over the uncommitted ring tail (positions
-    ``[committed, n)``; ring row j holds position committed + j).
-
-    Returns unnormalized ``(out_u [B, nkv, g, hd] f32, m [B, nkv, g],
-    l [B, nkv, g])`` for the flash combine with the paged part.
-    """
-    B, nkv, g, hd = q.shape
-    s = jnp.einsum(
-        "bkgd,bjkd->bkgj", q, ring_k[:, :GROUP],
-        preferred_element_type=jnp.float32,
-    ) * scale  # [B, nkv, g, GROUP]
-    valid = jnp.arange(GROUP, dtype=jnp.int32)[None, :] < (n - committed)[:, None]
-    s = jnp.where(valid[:, None, None, :], s, MASK_VALUE)
-    m = jnp.max(s, axis=-1)
-    p = jnp.exp(s - m[..., None])
-    p = jnp.where(valid[:, None, None, :], p, 0.0)
-    l = jnp.sum(p, axis=-1)
-    out_u = jnp.einsum(
-        "bkgj,bjkd->bkgd", p.astype(ring_v.dtype), ring_v[:, :GROUP],
-        preferred_element_type=jnp.float32,
-    )
-    return out_u, m, l
-
-
-def _combine_attention(out1, m1, l1, out2_u, m2, l2):
-    """Flash-merge a normalized partial attention (paged: ``out1, m1, l1``)
-    with an unnormalized one (ring: ``out2_u, m2, l2``). All f32 math;
-    zero-weight rows (inactive slots) resolve to 0."""
-    m = jnp.maximum(m1, m2)
-    w1 = l1 * jnp.exp(m1 - m)
-    a2 = jnp.exp(m2 - m)
-    denom = w1 + l2 * a2
-    safe = jnp.where(denom == 0.0, 1.0, denom)
-    num = out1.astype(jnp.float32) * w1[..., None] + out2_u * a2[..., None]
-    return num / safe[..., None]
-
-
-RING_IMPLS = ("pallas", "xla_ring")
 
 # Perf-forensics switch (dev tooling, used by profile_decode.py --ablate):
 # stage names added here are SKIPPED in the decode layer so their cost can
 # be measured by difference on real hardware. Read at trace time — set it
 # before jit and don't mix ablations in one process. Never set in serving.
 ABLATE: frozenset = frozenset()
-_ABLATABLE = ("norms", "qknorm", "rope", "ring_write", "commit", "ring_attn")
+_ABLATABLE = ("norms", "qknorm", "rope", "commit")
 
 
 def _decoder_layer(
@@ -454,12 +300,8 @@ def _decoder_layer(
     lp: Params,  # per-layer plain weights (sliced by the scan)
     qlp: Params,  # FULL-stack quantized weights (indexed by li; see forward)
     li: jax.Array,  # scalar layer index into the stacked cache
-    kk: jax.Array,  # [L, P, nkv, ps, hd] full stacked cache (carry)
-    vv: jax.Array,
-    kcs: Optional[jax.Array],
-    vcs: Optional[jax.Array],
-    rk: Optional[jax.Array],  # [L, B, GROUP+1, nkv, hd] ring (ring impls)
-    rv: Optional[jax.Array],
+    kv: jax.Array,  # [L, P, 2, nkv, ps, hd] full stacked combined cache
+    kvs: Optional[jax.Array],  # [L, P, 2, nkv, ps] f32 scales or None
     batch,
     config: Qwen3Config,
     mode: str,
@@ -515,24 +357,14 @@ def _decoder_layer(
     if "rope" not in ABLATE:
         q, k = apply_rope_positions(q, k, batch.positions, c.rope_theta)
 
-    ring = attn_impl in RING_IMPLS
-    ps = kk.shape[3]
+    ps = kv.shape[4]
 
     if mode == "prefill":
-        if ring:
-            # Full groups -> pages (tile-aligned); per-seq tails -> ring.
-            kk, vv, kcs, vcs = _commit_prefill_groups(
-                kk, vv, kcs, vcs, k, v, batch.slot_mapping, batch.ring_slots,
-                li, ps, attn_impl == "pallas",
-            )
-            segc = jnp.maximum(batch.seg_ids, 0)
-            rk = rk.at[li, segc, batch.ring_slots].set(k, mode="drop")
-            rv = rv.at[li, segc, batch.ring_slots].set(v, mode="drop")
-        else:
-            kk, vv, kcs, vcs = _write_kv(
-                kk, vv, kcs, vcs, k, v, batch.slot_mapping, li
-            )
         if attn_impl == "pallas":
+            if "commit" not in ABLATE:
+                kv, kvs = _commit_prefill_groups(
+                    kv, kvs, k, v, batch.slot_mapping, batch.seg_ids, li, ps
+                )
             from nano_vllm_candle_tpu.kernels.flash_prefill import (
                 pallas_packed_prefill_attention,
             )
@@ -541,123 +373,42 @@ def _decoder_layer(
                 q, k, v, batch.seg_ids, batch.positions, scale
             )
         else:
+            kv, kvs = _write_kv(kv, kvs, k, v, batch.slot_mapping, li)
             attn_out = packed_prefill_attention(
                 q, k, v, batch.seg_ids, batch.positions, scale
             )
-    elif ring:
+    elif attn_impl == "pallas":
+        # Attention over pages [0, n-1) with the current token's k/v folded
+        # in-kernel from registers; the page commit happens AFTER attention
+        # (kernels/paged_decode.py docstring), so no staging structure.
         n = batch.seq_lens  # includes the current token; 0 = inactive slot
-        B = n.shape[0]
-        rslot = jnp.where(n > 0, batch.positions % GROUP, GROUP)
-        if attn_impl == "pallas" and not (ABLATE & {"ring_write", "commit"}):
-            # Fused ring write + group commit: one aliased-output kernel
-            # stages the current row and emits the completed window
-            # (kernels/kv_commit.pallas_ring_commit).
-            from nano_vllm_candle_tpu.kernels.kv_commit import (
-                pallas_ring_commit,
-            )
+        from nano_vllm_candle_tpu.kernels.paged_decode import (
+            pallas_paged_decode_attention,
+        )
+        from nano_vllm_candle_tpu.kernels.kv_commit import pallas_row_commit
 
-            flush = (n > 0) & (n % GROUP == 0)
-            start = jnp.maximum(n - GROUP, 0)
-            page = jnp.take_along_axis(
-                batch.block_tables, (start // ps)[:, None], 1
-            )[:, 0]
-            pages = jnp.where(flush, page, 0)
-            offs = jnp.where(flush, start % ps, 0)
-            out = pallas_ring_commit(
-                rk, rv, kk, vv, k, v, li, rslot, pages, offs, kcs, vcs
+        attn_out = pallas_paged_decode_attention(
+            q, kv, batch.block_tables, n, scale, k, v,
+            kv_scale=kvs, layer_index=li,
+        ).astype(hidden.dtype)
+        if "commit" not in ABLATE:
+            kv, kvs = pallas_row_commit(
+                kv, k, v, li, batch.slot_mapping, kv_scale=kvs
             )
-            if kcs is not None:
-                rk, rv, kk, vv, kcs, vcs = out
-            else:
-                rk, rv, kk, vv = out
-        else:
-            # 1. Current token -> its ring row (whole-tile write).
-            bidx = jnp.arange(B, dtype=jnp.int32)
-            if "ring_write" not in ABLATE:
-                rk = rk.at[li, bidx, rslot].set(k, mode="drop")
-                rv = rv.at[li, bidx, rslot].set(v, mode="drop")
-            # 2. Completed group (if n crossed a boundary) -> page.
-            rk_l2 = jax.lax.dynamic_index_in_dim(rk, li, 0, keepdims=False)
-            rv_l2 = jax.lax.dynamic_index_in_dim(rv, li, 0, keepdims=False)
-            if "commit" not in ABLATE:
-                kk, vv, kcs, vcs = _commit_decode_group(
-                    kk, vv, kcs, vcs, rk_l2, rv_l2, li, n, batch.block_tables,
-                    ps, attn_impl == "pallas",
-                )
-        # 3. Attention = paged part (committed prefix) + ring tail, merged.
-        committed = (n // GROUP) * GROUP
-        qg = q.reshape(B, c.num_key_value_heads, c.num_q_per_kv, c.head_dim)
-        if attn_impl == "pallas":
-            from nano_vllm_candle_tpu.kernels.paged_decode import (
-                pallas_paged_decode_attention,
-            )
-
-            if "ring_attn" in ABLATE:
-                out1, m1, l1 = pallas_paged_decode_attention(
-                    q, kk, vv, batch.block_tables, committed, scale,
-                    k_scale=kcs, v_scale=vcs, layer_index=li,
-                    return_stats=True,
-                )
-                attn_out = out1.astype(hidden.dtype)
-            else:
-                # Ring tail folded into the kernel as one extra grid step
-                # (no XLA-side combine, no per-layer ring slices).
-                attn_out = pallas_paged_decode_attention(
-                    q, kk, vv, batch.block_tables, committed, scale,
-                    k_scale=kcs, v_scale=vcs, layer_index=li,
-                    ring_k=rk, ring_v=rv, total_lens=n,
-                ).astype(hidden.dtype)
-        else:
-            rk_l = jax.lax.dynamic_index_in_dim(rk, li, 0, keepdims=False)
-            rv_l = jax.lax.dynamic_index_in_dim(rv, li, 0, keepdims=False)
-            k_l = jax.lax.dynamic_index_in_dim(kk, li, 0, keepdims=False)
-            v_l = jax.lax.dynamic_index_in_dim(vv, li, 0, keepdims=False)
-            kcs_l = (
-                jax.lax.dynamic_index_in_dim(kcs, li, 0, keepdims=False)
-                if kcs is not None else None
-            )
-            vcs_l = (
-                jax.lax.dynamic_index_in_dim(vcs, li, 0, keepdims=False)
-                if vcs is not None else None
-            )
-            out1, m1, l1 = paged_decode_attention(
-                q, k_l, v_l, batch.block_tables, committed, scale,
-                k_scale=kcs_l, v_scale=vcs_l, return_stats=True,
-            )
-            if "ring_attn" in ABLATE:
-                attn_out = out1.astype(hidden.dtype)
-            else:
-                out2_u, m2, l2 = _ring_attention(
-                    qg, rk_l, rv_l, n, committed, scale
-                )
-                shp = (B, c.num_key_value_heads, c.num_q_per_kv)
-                merged = _combine_attention(
-                    out1.reshape(*shp, c.head_dim), m1.reshape(shp),
-                    l1.reshape(shp), out2_u, m2, l2,
-                )
-                attn_out = merged.reshape(
-                    B, c.num_attention_heads, c.head_dim
-                ).astype(hidden.dtype)
     else:
-        kk, vv, kcs, vcs = _write_kv(
-            kk, vv, kcs, vcs, k, v, batch.slot_mapping, li
-        )
-        # XLA fallback (CPU tests): slice this layer's cache out of the
-        # stack. Costs a per-layer dynamic-slice — acceptable off the TPU
-        # fast path.
-        k_l = jax.lax.dynamic_index_in_dim(kk, li, 0, keepdims=False)
-        v_l = jax.lax.dynamic_index_in_dim(vv, li, 0, keepdims=False)
-        kcs_l = (
-            jax.lax.dynamic_index_in_dim(kcs, li, 0, keepdims=False)
-            if kcs is not None else None
-        )
-        vcs_l = (
-            jax.lax.dynamic_index_in_dim(vcs, li, 0, keepdims=False)
-            if vcs is not None else None
+        # XLA twin (CPU tests / numerics reference): commit the current row
+        # first, then attend over the cache including it. Under int8 KV the
+        # twin reads the current row back quantized where the Pallas path
+        # folds it exactly — the Pallas path is strictly more accurate.
+        kv, kvs = _write_kv(kv, kvs, k, v, batch.slot_mapping, li)
+        kv_l = jax.lax.dynamic_index_in_dim(kv, li, 0, keepdims=False)
+        kvs_l = (
+            jax.lax.dynamic_index_in_dim(kvs, li, 0, keepdims=False)
+            if kvs is not None else None
         )
         attn_out = paged_decode_attention(
-            q, k_l, v_l, batch.block_tables, batch.seq_lens, scale,
-            k_scale=kcs_l, v_scale=vcs_l,
+            q, kv_l, batch.block_tables, batch.seq_lens, scale,
+            kv_scale=kvs_l,
         )
 
     # Row-parallel o_proj (all-reduce inserted by GSPMD under TP)
@@ -675,7 +426,7 @@ def _decoder_layer(
         gate = pmm(normed, "gate_proj")
         up = pmm(normed, "up_proj")
         hidden = pmm(jax.nn.silu(gate) * up, "down_proj")
-    return hidden, residual, kk, vv, kcs, vcs, rk, rv
+    return hidden, residual, kv, kvs
 
 
 def forward(
@@ -723,36 +474,26 @@ def forward(
         k: v for k, v in params["layers"].items() if stays_stacked(k, v)
     }
 
-    if attn_impl in RING_IMPLS and kv_cache.ring_k is None:
-        raise ValueError(
-            f"attn_impl={attn_impl!r} needs the group-commit ring; create the "
-            "cache with init_kv_cache(..., ring_batch=max_num_seqs)"
-        )
-
     def layer_fn(carry, xs):
-        h, r, kk, vv, kcs, vcs, rk, rv = carry
+        h, r, kv, kvs = carry
         lp, li = xs
-        h, r, kk, vv, kcs, vcs, rk, rv = _decoder_layer(
-            h, r, lp, quant_layers, li, kk, vv, kcs, vcs, rk, rv,
+        h, r, kv, kvs = _decoder_layer(
+            h, r, lp, quant_layers, li, kv, kvs,
             batch, c, mode, attn_impl,
         )
-        return (h, r, kk, vv, kcs, vcs, rk, rv), None
+        return (h, r, kv, kvs), None
 
-    (hidden, residual, new_k, new_v, new_kcs, new_vcs, new_rk, new_rv), _ = (
-        jax.lax.scan(
-            layer_fn,
-            (hidden, residual, kv_cache.k, kv_cache.v,
-             kv_cache.k_scale, kv_cache.v_scale,
-             kv_cache.ring_k, kv_cache.ring_v),
-            (xs_layers, jnp.arange(L, dtype=jnp.int32)),
-        )
+    (hidden, residual, new_kv, new_kvs), _ = jax.lax.scan(
+        layer_fn,
+        (hidden, residual, kv_cache.kv, kv_cache.kv_scale),
+        (xs_layers, jnp.arange(L, dtype=jnp.int32)),
     )
 
     hidden, _ = rms_norm(hidden, params["norm"], c.rms_norm_eps, residual)
 
     if mode == "prefill":
         hidden = hidden[batch.logits_indices]  # [B, H]
-    return hidden, KVCache(new_k, new_v, new_kcs, new_vcs, new_rk, new_rv)
+    return hidden, KVCache(new_kv, new_kvs)
 
 
 def compute_logits(params: Params, hidden: jax.Array) -> jax.Array:

@@ -72,55 +72,53 @@ def packed_prefill_attention(
 
 def paged_decode_attention(
     q: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    kv_cache: jax.Array,
     block_tables: jax.Array,
     seq_lens: jax.Array,
     scale: float,
-    k_scale: jax.Array | None = None,
-    v_scale: jax.Array | None = None,
+    kv_scale: jax.Array | None = None,
     return_stats: bool = False,
 ):
     """One-token-per-sequence attention against the paged KV cache.
 
     Args:
       q: ``[B, num_q_heads, head_dim]`` — the new token's query per slot.
-      k_cache/v_cache: ``[num_pages, num_kv_heads, page_size, head_dim]``
-        (head-major pages; see ``models/qwen3.KVCache``).
+      kv_cache: ``[num_pages, 2, num_kv_heads, page_size, head_dim]``
+        (combined head-major pages; see ``models/qwen3.KVCache``).
       block_tables: ``[B, max_blocks_per_seq]`` int32 physical page ids
         (entries past the sequence's pages may be arbitrary valid ids).
       seq_lens: ``[B]`` int32 — tokens in context *including* the new token
         (whose k/v must already be written to the cache).
       scale: softmax scale.
-      k_scale/v_scale: ``[num_pages, page_size, num_kv_heads]`` per-vector
-        dequant scales for INT8 caches (None = unquantized); token-major,
+      kv_scale: ``[num_pages, 2, num_kv_heads, page_size]`` per-vector
+        dequant scales for INT8 caches (None = unquantized); head-major,
         see ``models/qwen3.KVCache``.
 
     Returns:
       ``[B, num_q_heads, head_dim]``.
     """
     B, nq, hd = q.shape
-    _, nkv, page_size, _ = k_cache.shape
+    _, _, nkv, page_size, _ = kv_cache.shape
     g = nq // nkv
     W = block_tables.shape[1]
 
-    # Gather each sequence's pages: [B, W, nkv, page_size, hd] -> [B, nkv, S, hd]
-    k = jnp.take(k_cache, block_tables, axis=0)
-    v = jnp.take(v_cache, block_tables, axis=0)
+    # Gather each sequence's pages: [B, W, 2, nkv, page_size, hd]
+    kv = jnp.take(kv_cache, block_tables, axis=0)
     S = W * page_size
+    k = kv[:, :, 0]
+    v = kv[:, :, 1]
     ks = vs = None
-    if k_scale is not None:
+    if kv_scale is not None:
         # INT8 cache. int8 values are exactly representable in bf16, so a
         # bare cast is lossless; the per-vector scales FOLD into the tiny
         # post-matmul tensors instead of dequantizing whole pages:
         # k-scale rides the scores (s_t *= ks_t), v-scale rides the softmax
         # weights (p_t *= vs_t) — algebraically identical, far less VPU
         # traffic in the Pallas twin (kernels/paged_decode.py mirrors this).
-        # token-major scale planes: [B, W, ps, nkv] -> [B, nkv, W*ps]
-        ks = jnp.take(k_scale, block_tables, axis=0).transpose(0, 3, 1, 2)
-        vs = jnp.take(v_scale, block_tables, axis=0).transpose(0, 3, 1, 2)
-        ks = ks.reshape(B, nkv, S)
-        vs = vs.reshape(B, nkv, S)
+        # head-major scale planes: [B, W, 2, nkv, ps] -> [B, nkv, W*ps]
+        s_all = jnp.take(kv_scale, block_tables, axis=0)
+        ks = s_all[:, :, 0].transpose(0, 2, 1, 3).reshape(B, nkv, S)
+        vs = s_all[:, :, 1].transpose(0, 2, 1, 3).reshape(B, nkv, S)
         compute_dtype = q.dtype if q.dtype != jnp.int8 else jnp.bfloat16
         k = k.astype(compute_dtype)
         v = v.astype(compute_dtype)

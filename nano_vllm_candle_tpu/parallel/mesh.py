@@ -109,13 +109,11 @@ def qwen3_param_pspecs(config: Qwen3Config, params: Any) -> Any:
     return specs
 
 
-def kv_cache_pspec(ndim: int = 5) -> P:
-    """Rank 5: pages ``[L, pages, num_kv_heads, page_size, head_dim]`` —
-    shard kv_heads (axis 2) on tp. Rank 4: the token-major int8 scale
-    planes ``[L, pages, page_size, num_kv_heads]`` — kv_heads is axis 3."""
-    if ndim == 4:
-        return P(None, None, None, "tp")
-    return P(None, None, "tp", *([None] * (ndim - 3)))
+def kv_cache_pspec(ndim: int = 6) -> P:
+    """Rank 6: combined pages ``[L, pages, 2, num_kv_heads, page_size,
+    head_dim]`` — shard kv_heads (axis 3) on tp. Rank 5: the int8 scale
+    planes ``[L, pages, 2, num_kv_heads, page_size]`` — same axis."""
+    return P(None, None, None, "tp", *([None] * (ndim - 4)))
 
 
 def shard_params(params: Any, mesh: Mesh, config: Qwen3Config) -> Any:
@@ -125,13 +123,6 @@ def shard_params(params: Any, mesh: Mesh, config: Qwen3Config) -> Any:
     )
 
 
-def ring_pspec() -> P:
-    """Group-commit ring ``[L, B, GROUP+1, num_kv_heads, head_dim]`` —
-    request slots on dp, kv_heads on tp (same GQA co-location as the paged
-    cache)."""
-    return P(None, "dp", None, "tp", None)
-
-
 def shard_kv_cache(kv_cache: Any, mesh: Mesh) -> Any:
     from nano_vllm_candle_tpu.models.qwen3 import KVCache
 
@@ -139,23 +130,10 @@ def shard_kv_cache(kv_cache: Any, mesh: Mesh) -> Any:
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return KVCache(
-        k=put(kv_cache.k, kv_cache_pspec(kv_cache.k.ndim)),
-        v=put(kv_cache.v, kv_cache_pspec(kv_cache.v.ndim)),
-        k_scale=(
-            put(kv_cache.k_scale, kv_cache_pspec(kv_cache.k_scale.ndim))
-            if kv_cache.k_scale is not None else None
-        ),
-        v_scale=(
-            put(kv_cache.v_scale, kv_cache_pspec(kv_cache.v_scale.ndim))
-            if kv_cache.v_scale is not None else None
-        ),
-        ring_k=(
-            put(kv_cache.ring_k, ring_pspec())
-            if kv_cache.ring_k is not None else None
-        ),
-        ring_v=(
-            put(kv_cache.ring_v, ring_pspec())
-            if kv_cache.ring_v is not None else None
+        kv=put(kv_cache.kv, kv_cache_pspec(kv_cache.kv.ndim)),
+        kv_scale=(
+            put(kv_cache.kv_scale, kv_cache_pspec(kv_cache.kv_scale.ndim))
+            if kv_cache.kv_scale is not None else None
         ),
     )
 

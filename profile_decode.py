@@ -107,10 +107,9 @@ def main():
             return kv, tok
         return run
 
-    def bench(run, label, reps=5, ring=False):
+    def bench(run, label, reps=5):
         print(f"# compiling {label} ...", flush=True)
-        kv = qwen3.init_kv_cache(
-            cfg, P, ps, jnp.bfloat16, ring_batch=B if ring else None)
+        kv = qwen3.init_kv_cache(cfg, P, ps, jnp.bfloat16)
         tok = jnp.zeros((B,), jnp.int32)
         kv, t = run(params, bt, start_len, kv, tok)
         np.asarray(t)  # force round trip
@@ -133,15 +132,14 @@ def main():
     print(f"# SoL full step: {(pbytes + kv_bytes)/bw*1e3:.3f} ms "
           f"({B*bw/(pbytes+kv_bytes):,.0f} tok/s)")
 
-    ring = args.attn in qwen3.RING_IMPLS
-    t_full = bench(make_step(0, True, args.attn), f"full ({args.attn})", ring=ring)
+    t_full = bench(make_step(0, True, args.attn), f"full ({args.attn})")
     if args.only_full:
         return
-    t_noattn = bench(make_step(1, True, args.attn), "attn @ seq_len=1", ring=ring)
+    t_noattn = bench(make_step(1, True, args.attn), "attn @ seq_len=1")
     t_nolog = bench(
-        make_step(0, False, args.attn), f"no logits/sample ({args.attn})", ring=ring)
+        make_step(0, False, args.attn), f"no logits/sample ({args.attn})")
     other = "xla" if args.attn == "pallas" else "pallas"
-    bench(make_step(0, True, other), f"full ({other})", ring=other in qwen3.RING_IMPLS)
+    bench(make_step(0, True, other), f"full ({other})")
     print(f"attention KV stream ~{(t_full - t_noattn)*1e3:7.3f} ms  (SoL KV read {kv_bytes/bw*1e3:.3f} ms)")
     print(f"logits+sample       ~{(t_full - t_nolog)*1e3:7.3f} ms  (SoL lm_head {lm_bytes/bw*1e3:.3f} ms)")
 

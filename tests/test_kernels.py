@@ -5,107 +5,155 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from nano_vllm_candle_tpu.models import qwen3
 from nano_vllm_candle_tpu.ops.attention import paged_decode_attention
 from nano_vllm_candle_tpu.kernels.paged_decode import pallas_paged_decode_attention
 
 
-def make_case(B=4, nq=8, nkv=4, hd=128, ps=16, P=12, W=6, seed=0, dtype=jnp.float32):
-    keys = jax.random.split(jax.random.key(seed), 3)
+def make_case(B=4, nq=8, nkv=4, hd=128, ps=16, P=24, W=6, seed=0,
+              dtype=jnp.float32):
+    """Combined-cache decode case. Pages are globally unique per sequence
+    (writes would otherwise collide) and block-table rows are padded by
+    repeating the last valid page (the kernel's index-map contract)."""
+    keys = jax.random.split(jax.random.key(seed), 4)
     q = jax.random.normal(keys[0], (B, nq, hd), dtype)
-    k_cache = jax.random.normal(keys[1], (P, nkv, ps, hd), dtype)
-    v_cache = jax.random.normal(keys[2], (P, nkv, ps, hd), dtype)
+    kv_cache = jax.random.normal(keys[1], (P, 2, nkv, ps, hd), dtype)
+    new_k = jax.random.normal(keys[2], (B, nkv, hd), dtype)
+    new_v = jax.random.normal(keys[3], (B, nkv, hd), dtype)
     rng = np.random.default_rng(seed)
-    # distinct valid pages per sequence (page 0 = null)
     block_tables = np.zeros((B, W), np.int32)
     seq_lens = np.zeros((B,), np.int32)
+    free = list(rng.permutation(np.arange(1, P)))
     for b in range(B):
         L = int(rng.integers(1, W * ps))
         seq_lens[b] = L
         nb = -(-L // ps)
-        pages = rng.choice(np.arange(1, P), size=nb, replace=False)
+        pages = [free.pop() for _ in range(nb)]
         block_tables[b, :nb] = pages
-    return q, k_cache, v_cache, jnp.asarray(block_tables), jnp.asarray(seq_lens)
+        block_tables[b, nb:] = pages[-1]
+    return (q, kv_cache, jnp.asarray(block_tables), jnp.asarray(seq_lens),
+            new_k, new_v)
+
+
+def twin_with_current_rows(q, kv_cache, bt, sl, new_k, new_v, scale,
+                           kv_scale=None):
+    """XLA twin of the fold-new kernel: write each slot's current row into
+    its page (slot of position sl-1), then attend over the cache."""
+    B = q.shape[0]
+    ps = kv_cache.shape[-2]
+    btn = np.asarray(bt)
+    sln = np.asarray(sl)
+    slots = np.zeros((B,), np.int32)
+    for b in range(B):
+        n = int(sln[b])
+        t = max(n - 1, 0)
+        slots[b] = btn[b, t // ps] * ps + t % ps if n > 0 else 0
+    kv_w, kvs_w = qwen3._write_kv(
+        kv_cache[None], None if kv_scale is None else kv_scale[None],
+        new_k, new_v, jnp.asarray(slots), jnp.int32(0),
+    )
+    return paged_decode_attention(
+        q, kv_w[0], bt, sl, scale,
+        kv_scale=None if kvs_w is None else kvs_w[0],
+    )
 
 
 class TestPagedDecodeKernel:
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_matches_xla_reference(self, seed):
-        q, k, v, bt, sl, = make_case(seed=seed)
+        q, kvc, bt, sl, nk, nv = make_case(seed=seed)
         scale = q.shape[-1] ** -0.5
-        ref = paged_decode_attention(q, k, v, bt, sl, scale)
-        out = pallas_paged_decode_attention(q, k, v, bt, sl, scale, interpret=True)
+        ref = twin_with_current_rows(q, kvc, bt, sl, nk, nv, scale)
+        out = pallas_paged_decode_attention(
+            q, kvc, bt, sl, scale, nk, nv, interpret=True
+        )
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
     def test_gqa_grouping(self):
-        q, k, v, bt, sl = make_case(B=2, nq=16, nkv=2, hd=64, ps=8, P=8, W=4, seed=3)
+        q, kvc, bt, sl, nk, nv = make_case(
+            B=2, nq=16, nkv=2, hd=64, ps=8, P=16, W=4, seed=3
+        )
         scale = 0.125
-        ref = paged_decode_attention(q, k, v, bt, sl, scale)
-        out = pallas_paged_decode_attention(q, k, v, bt, sl, scale, interpret=True)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+        ref = twin_with_current_rows(q, kvc, bt, sl, nk, nv, scale)
+        out = pallas_paged_decode_attention(
+            q, kvc, bt, sl, scale, nk, nv, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
 
     def test_inactive_slots_are_finite(self):
         """seq_len == 0 (padding slot) must produce zeros, not NaN."""
-        q, k, v, bt, sl = make_case(B=3, seed=4)
+        q, kvc, bt, sl, nk, nv = make_case(B=3, seed=4)
         sl = sl.at[1].set(0)
-        out = pallas_paged_decode_attention(q, k, v, bt, sl, q.shape[-1] ** -0.5,
-                                            interpret=True)
+        bt = bt.at[1].set(0)
+        out = pallas_paged_decode_attention(
+            q, kvc, bt, sl, q.shape[-1] ** -0.5, nk, nv, interpret=True
+        )
         assert np.all(np.isfinite(np.asarray(out)))
         np.testing.assert_allclose(np.asarray(out[1]), 0.0)
 
     def test_single_token_context(self):
-        q, k, v, bt, sl = make_case(B=2, seed=5)
+        """seq_len == 1: the whole context is the folded current token."""
+        q, kvc, bt, sl, nk, nv = make_case(B=2, seed=5)
         sl = jnp.asarray([1, 1], jnp.int32)
         scale = q.shape[-1] ** -0.5
-        ref = paged_decode_attention(q, k, v, bt, sl, scale)
-        out = pallas_paged_decode_attention(q, k, v, bt, sl, scale, interpret=True)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+        ref = twin_with_current_rows(q, kvc, bt, sl, nk, nv, scale)
+        out = pallas_paged_decode_attention(
+            q, kvc, bt, sl, scale, nk, nv, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
 
     def test_int8_kv_matches_xla_reference(self):
-        q, k, v, bt, sl = make_case(seed=7)
-        P_, nkv_, ps_ = k.shape[:3]
-        ps_shape = (P_, ps_, nkv_)  # token-major scale planes [P, ps, nkv]
-        keys = jax.random.split(jax.random.key(11), 2)
-        kq = jnp.clip(jnp.round(k * 20), -127, 127).astype(jnp.int8)
-        vq = jnp.clip(jnp.round(v * 20), -127, 127).astype(jnp.int8)
-        ks = jax.random.uniform(keys[0], ps_shape, jnp.float32, 0.01, 0.1)
-        vs = jax.random.uniform(keys[1], ps_shape, jnp.float32, 0.01, 0.1)
+        q, kvc, bt, sl, nk, nv = make_case(seed=7)
+        P_, _, nkv_, ps_, _ = kvc.shape
+        kq = jnp.clip(jnp.round(kvc * 20), -127, 127).astype(jnp.int8)
+        # head-major scale planes [P, 2, nkv, ps]
+        s = jax.random.uniform(
+            jax.random.key(11), (P_, 2, nkv_, ps_), jnp.float32, 0.01, 0.1
+        )
         scale = q.shape[-1] ** -0.5
-        ref = paged_decode_attention(q, kq, vq, bt, sl, scale, k_scale=ks, v_scale=vs)
+        # Twin reads the current row back quantized; feed it rows that are
+        # exactly representable so both paths agree bitwise.
+        ref = paged_decode_attention(
+            q, kq, bt, jnp.maximum(sl - 1, 0) + (sl > 0), scale, kv_scale=s
+        )
+        # For the kernel, pages hold [0, sl-1) and the current token is the
+        # dequantized row the twin reads from its page.
+        btn, sln = np.asarray(bt), np.asarray(sl)
+        kqn, sn = np.asarray(kq), np.asarray(s)
+        nk2 = np.zeros_like(np.asarray(nk))
+        nv2 = np.zeros_like(np.asarray(nv))
+        for b in range(q.shape[0]):
+            t = int(sln[b]) - 1
+            pg = btn[b, t // ps_]
+            nk2[b] = (kqn[pg, 0, :, t % ps_].astype(np.float32)
+                      * sn[pg, 0, :, t % ps_][:, None])
+            nv2[b] = (kqn[pg, 1, :, t % ps_].astype(np.float32)
+                      * sn[pg, 1, :, t % ps_][:, None])
         out = pallas_paged_decode_attention(
-            q, kq, vq, bt, sl, scale, k_scale=ks, v_scale=vs, interpret=True
+            q, kq, bt, sl, scale, jnp.asarray(nk2), jnp.asarray(nv2),
+            kv_scale=s, interpret=True,
         )
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
     def test_bf16_inputs(self):
-        q, k, v, bt, sl = make_case(seed=6, dtype=jnp.bfloat16)
+        q, kvc, bt, sl, nk, nv = make_case(seed=6, dtype=jnp.bfloat16)
         scale = q.shape[-1] ** -0.5
-        ref = paged_decode_attention(q, k, v, bt, sl, scale)
-        out = pallas_paged_decode_attention(q, k, v, bt, sl, scale, interpret=True)
+        ref = twin_with_current_rows(q, kvc, bt, sl, nk, nv, scale)
+        out = pallas_paged_decode_attention(
+            q, kvc, bt, sl, scale, nk, nv, interpret=True
+        )
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2,
         )
-
-    def test_return_stats_matches_twin(self):
-        """(out, m, l) stats must match the XLA twin's — the contract the
-        ring-combine path (models/qwen3) relies on."""
-        q, k, v, bt, sl = make_case(seed=8)
-        sl = sl.at[1].set(0)  # include an inactive slot: l must be 0 there
-        scale = q.shape[-1] ** -0.5
-        ref_o, ref_m, ref_l = paged_decode_attention(
-            q, k, v, bt, sl, scale, return_stats=True
-        )
-        out, m, l = pallas_paged_decode_attention(
-            q, k, v, bt, sl, scale, interpret=True, return_stats=True
-        )
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_o), rtol=2e-5, atol=2e-5)
-        np.testing.assert_allclose(np.asarray(m), np.asarray(ref_m), rtol=2e-5)
-        np.testing.assert_allclose(np.asarray(l), np.asarray(ref_l), rtol=2e-5)
-        np.testing.assert_array_equal(np.asarray(l[1]), 0.0)
 
 
 from nano_vllm_candle_tpu.ops.attention import packed_prefill_attention
@@ -270,75 +318,118 @@ class TestQuantMatmulKernel:
 
 
 # --------------------------------------------------------------------------
-# Group-commit kernel (kernels/kv_commit.py)
+# Page-commit kernels (kernels/kv_commit.py)
 # --------------------------------------------------------------------------
 
-from nano_vllm_candle_tpu.kernels.kv_commit import pallas_commit_groups  # noqa: E402
-from nano_vllm_candle_tpu.models.qwen3 import GROUP, _scatter_groups  # noqa: E402
+from nano_vllm_candle_tpu.kernels.kv_commit import (  # noqa: E402
+    pallas_commit_groups,
+    pallas_row_commit,
+)
+from nano_vllm_candle_tpu.models.qwen3 import GROUP  # noqa: E402
 
 
-class TestCommitKernel:
-    def _case(self, quant=False, seed=0):
+class TestCommitGroupsKernel:
+    def _case(self, seed=0):
         L, P, nkv, ps, hd, N = 2, 6, 2, 2 * GROUP, 32, 3
-        ks = jax.random.split(jax.random.key(seed), 4)
-        kc = jax.random.normal(ks[0], (L, P, nkv, ps, hd), jnp.float32)
-        vc = jax.random.normal(ks[1], (L, P, nkv, ps, hd), jnp.float32)
-        ku = jax.random.normal(ks[2], (N, nkv, GROUP, hd), jnp.float32)
-        vu = jax.random.normal(ks[3], (N, nkv, GROUP, hd), jnp.float32)
+        ks = jax.random.split(jax.random.key(seed), 2)
+        kvc = jax.random.normal(ks[0], (L, P, 2, nkv, ps, hd), jnp.float32)
+        upd = jax.random.normal(ks[1], (N, 2, nkv, GROUP, hd), jnp.float32)
         pages = jnp.asarray([1, 0, 4], jnp.int32)  # window 1 -> null page
         offs = jnp.asarray([GROUP, 0, 0], jnp.int32)
-        return kc, vc, ku, vu, pages, offs
+        return kvc, upd, pages, offs
 
-    def test_matches_scatter(self):
-        kc, vc, ku, vu, pages, offs = self._case()
-        li = jnp.int32(1)
-        got_k, got_v = pallas_commit_groups(
-            kc, vc, ku, vu, li, pages, offs, interpret=True
+    def test_windows_land_and_rest_preserved(self):
+        kvc, upd, pages, offs = self._case()
+        before = np.asarray(kvc).copy()
+        got, _ = pallas_commit_groups(
+            kvc, upd, jnp.int32(1), pages, offs, interpret=True
         )
-        li_col = jnp.full((3,), 1, jnp.int32)
-        ref_k = _scatter_groups(kc, ku, li_col, pages, offs)
-        ref_v = _scatter_groups(vc, vu, li_col, pages, offs)
-        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(ref_k))
-        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
-
-    def test_untouched_regions_preserved(self):
-        kc, vc, ku, vu, pages, offs = self._case(seed=3)
-        before = np.asarray(kc).copy()
-        got_k, _ = pallas_commit_groups(
-            kc, vc, ku, vu, jnp.int32(0), pages, offs, interpret=True
-        )
-        after = np.asarray(got_k)
-        # layer 1 untouched entirely; page 2,3,5 of layer 0 untouched
-        np.testing.assert_array_equal(after[1], before[1])
-        for p in (2, 3, 5):
-            np.testing.assert_array_equal(after[0, p], before[0, p])
-        # window 2 landed at page 4 offset 0
+        after = np.asarray(got)
         np.testing.assert_array_equal(
-            after[0, 4, :, :GROUP], np.asarray(jnp.asarray(vu is not None and ku)[2])
+            after[1, 1, :, :, GROUP : 2 * GROUP], np.asarray(upd[0])
         )
+        np.testing.assert_array_equal(
+            after[1, 4, :, :, :GROUP], np.asarray(upd[2])
+        )
+        # layer 0 untouched entirely; pages 2,3,5 of layer 1 untouched
+        np.testing.assert_array_equal(after[0], before[0])
+        for p in (2, 3, 5):
+            np.testing.assert_array_equal(after[1, p], before[1, p])
 
     def test_quantized_scales(self):
-        kc, vc, ku, vu, pages, offs = self._case(seed=4)
-        L, P, nkv, ps, hd = kc.shape
-        kc8 = jnp.zeros((L, P, nkv, ps, hd), jnp.int8)
-        vc8 = jnp.zeros_like(kc8)
-        ksc = jnp.zeros((L, P, ps, nkv), jnp.float32)  # token-major
-        vsc = jnp.zeros_like(ksc)
-        ku8 = jnp.clip(jnp.round(ku * 10), -127, 127).astype(jnp.int8)
-        vu8 = jnp.clip(jnp.round(vu * 10), -127, 127).astype(jnp.int8)
-        ksu = jnp.abs(jax.random.normal(jax.random.key(9), (3, nkv, GROUP)))
-        vsu = ksu * 2
-        gk, gv, gks, gvs = pallas_commit_groups(
-            kc8, vc8, ku8, vu8, jnp.int32(0), pages, offs,
-            k_scale_cache=ksc, v_scale_cache=vsc,
-            k_scale_upd=ksu, v_scale_upd=vsu, interpret=True,
+        kvc, upd, pages, offs = self._case(seed=4)
+        L, P, _, nkv, ps, hd = kvc.shape
+        kv8 = jnp.zeros((L, P, 2, nkv, ps, hd), jnp.int8)
+        sc = jnp.zeros((L, P, 2, nkv, ps), jnp.float32)
+        upd8 = jnp.clip(jnp.round(upd * 10), -127, 127).astype(jnp.int8)
+        su = jnp.abs(jax.random.normal(jax.random.key(9), (3, 2, nkv, GROUP)))
+        got, gots = pallas_commit_groups(
+            kv8, upd8, jnp.int32(0), pages, offs,
+            kv_scale_cache=sc, scale_upd=su, interpret=True,
         )
         np.testing.assert_array_equal(
-            np.asarray(gk[0, 4, :, :GROUP]), np.asarray(ku8[2])
+            np.asarray(got[0, 4, :, :, :GROUP]), np.asarray(upd8[2])
         )
         np.testing.assert_array_equal(
-            np.asarray(gks[0, 4, :GROUP, :]), np.asarray(ksu[2]).T
+            np.asarray(gots[0, 4, :, :, :GROUP]), np.asarray(su[2])
         )
+
+
+class TestRowCommitKernel:
+    def test_rows_land_and_rest_preserved(self):
+        L, P, nkv, ps, hd, B = 3, 6, 2, 16, 32, 4
+        ks = jax.random.split(jax.random.key(0), 3)
+        kvc = jax.random.normal(ks[0], (L, P, 2, nkv, ps, hd), jnp.float32)
+        k = jax.random.normal(ks[1], (B, nkv, hd), jnp.float32)
+        v = jax.random.normal(ks[2], (B, nkv, hd), jnp.float32)
+        slots = jnp.asarray([1 * ps + 3, 2 * ps + 8, 0, 4 * ps + 15], jnp.int32)
+        before = np.asarray(kvc).copy()
+        got, _ = pallas_row_commit(
+            kvc, k, v, jnp.int32(1), slots, interpret=True
+        )
+        after = np.asarray(got)
+        for b, s in enumerate(np.asarray(slots)):
+            pg, off = s // ps, s % ps
+            np.testing.assert_allclose(after[1, pg, 0, :, off], np.asarray(k[b]))
+            np.testing.assert_allclose(after[1, pg, 1, :, off], np.asarray(v[b]))
+        # other layers untouched; untouched rows of touched windows preserved
+        np.testing.assert_array_equal(after[0], before[0])
+        np.testing.assert_array_equal(after[2], before[2])
+        np.testing.assert_array_equal(after[1, 1, 0, :, 0:3], before[1, 1, 0, :, 0:3])
+        np.testing.assert_array_equal(after[1, 1, 0, :, 4:8], before[1, 1, 0, :, 4:8])
+        np.testing.assert_array_equal(after[1, 3], before[1, 3])
+
+    def test_quantized_row_roundtrip(self):
+        L, P, nkv, ps, hd, B = 2, 6, 2, 16, 32, 3
+        ks = jax.random.split(jax.random.key(1), 2)
+        kvc = jnp.zeros((L, P, 2, nkv, ps, hd), jnp.int8)
+        sc = jnp.zeros((L, P, 2, nkv, ps), jnp.float32)
+        k = jax.random.normal(ks[0], (B, nkv, hd), jnp.float32)
+        v = jax.random.normal(ks[1], (B, nkv, hd), jnp.float32)
+        slots = jnp.asarray([1 * ps + 7, 3 * ps, 5 * ps + 9], jnp.int32)
+        got, gots = pallas_row_commit(
+            kvc, k, v, jnp.int32(0), slots, kv_scale=sc, interpret=True
+        )
+        gotn, gotsn = np.asarray(got), np.asarray(gots)
+        for b, s in enumerate(np.asarray(slots)):
+            pg, off = s // ps, s % ps
+            deq_k = gotn[0, pg, 0, :, off].astype(np.float32) * gotsn[0, pg, 0, :, off][:, None]
+            deq_v = gotn[0, pg, 1, :, off].astype(np.float32) * gotsn[0, pg, 1, :, off][:, None]
+            assert np.abs(deq_k - np.asarray(k[b])).max() < 0.03
+            assert np.abs(deq_v - np.asarray(v[b])).max() < 0.03
+
+    def test_matches_write_kv_twin(self):
+        """pallas_row_commit == models.qwen3._write_kv (the XLA scatter twin)
+        on the same rows/slots — bf16 cache."""
+        L, P, nkv, ps, hd, B = 2, 6, 2, 16, 32, 4
+        ks = jax.random.split(jax.random.key(2), 3)
+        kvc = jax.random.normal(ks[0], (L, P, 2, nkv, ps, hd), jnp.float32)
+        k = jax.random.normal(ks[1], (B, nkv, hd), jnp.float32)
+        v = jax.random.normal(ks[2], (B, nkv, hd), jnp.float32)
+        slots = jnp.asarray([1 * ps + 3, 2 * ps + 8, 3 * ps + 15, 4 * ps], jnp.int32)
+        got, _ = pallas_row_commit(kvc, k, v, jnp.int32(1), slots, interpret=True)
+        ref, _ = qwen3._write_kv(kvc, None, k, v, slots, jnp.int32(1))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
 class TestDenseMatmulKernel:
@@ -381,126 +472,3 @@ class TestDenseMatmulKernel:
         np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref), rtol=1e-6)
 
 
-class TestRingCommitKernel:
-    """Fused ring-write + group-commit (kernels/kv_commit.pallas_ring_commit)
-    vs the two-step XLA path (scatter ring write + _commit_decode_group)."""
-
-    def _case(self, quant, seed=0):
-        from nano_vllm_candle_tpu.models.qwen3 import GROUP
-
-        L, P, B, nkv, ps, hd = 2, 6, 4, 2, 2 * GROUP, 32
-        ks = jax.random.split(jax.random.key(seed), 6)
-        rk = jax.random.normal(ks[0], (L, B, GROUP + 1, nkv, hd), jnp.float32)
-        rv = jax.random.normal(ks[1], (L, B, GROUP + 1, nkv, hd), jnp.float32)
-        new_k = jax.random.normal(ks[2], (B, nkv, hd), jnp.float32)
-        new_v = jax.random.normal(ks[3], (B, nkv, hd), jnp.float32)
-        if quant:
-            kc = jnp.zeros((L, P, nkv, ps, hd), jnp.int8)
-            vc = jnp.zeros_like(kc)
-            kcs = jnp.zeros((L, P, ps, nkv), jnp.float32)
-            vcs = jnp.zeros_like(kcs)
-        else:
-            kc = jax.random.normal(ks[4], (L, P, nkv, ps, hd), jnp.float32)
-            vc = jax.random.normal(ks[5], (L, P, nkv, ps, hd), jnp.float32)
-            kcs = vcs = None
-        # slots: 0 flushes a full group, 1 mid-group, 2 inactive, 3 flushes
-        n = jnp.asarray([2 * GROUP, GROUP + 3, 0, GROUP], jnp.int32)
-        bt = jnp.asarray([[1, 2], [3, 3], [0, 0], [4, 5]], jnp.int32)
-        return rk, rv, kc, vc, kcs, vcs, new_k, new_v, n, bt, ps
-
-    def _xla_twin(self, rk, rv, kc, vc, kcs, vcs, new_k, new_v, n, bt, ps, li):
-        from nano_vllm_candle_tpu.models.qwen3 import (
-            GROUP, _commit_decode_group,
-        )
-
-        B = n.shape[0]
-        positions = jnp.maximum(n - 1, 0)
-        rslot = jnp.where(n > 0, positions % GROUP, GROUP)
-        bidx = jnp.arange(B, dtype=jnp.int32)
-        rk = rk.at[li, bidx, rslot].set(new_k, mode="drop")
-        rv = rv.at[li, bidx, rslot].set(new_v, mode="drop")
-        rk_l = rk[li]
-        rv_l = rv[li]
-        kc, vc, kcs, vcs = _commit_decode_group(
-            kc, vc, kcs, vcs, rk_l, rv_l, li, n, bt, ps, use_kernel=False
-        )
-        return rk, rv, kc, vc, kcs, vcs
-
-    @pytest.mark.parametrize("quant", [False, True])
-    def test_matches_xla_twin(self, quant):
-        from nano_vllm_candle_tpu.kernels.kv_commit import pallas_ring_commit
-        from nano_vllm_candle_tpu.models.qwen3 import GROUP
-
-        case = self._case(quant)
-        rk, rv, kc, vc, kcs, vcs, new_k, new_v, n, bt, ps = case
-        li = jnp.int32(1)
-        positions = jnp.maximum(n - 1, 0)
-        rslot = jnp.where(n > 0, positions % GROUP, GROUP)
-        flush = (n > 0) & (n % GROUP == 0)
-        start = jnp.maximum(n - GROUP, 0)
-        page = jnp.take_along_axis(bt, (start // ps)[:, None], 1)[:, 0]
-        pages = jnp.where(flush, page, 0)
-        offs = jnp.where(flush, start % ps, 0)
-        got = pallas_ring_commit(
-            rk, rv, kc, vc, new_k, new_v, li, rslot, pages, offs,
-            kcs, vcs, interpret=True,
-        )
-        ref = self._xla_twin(
-            rk, rv, kc, vc, kcs, vcs, new_k, new_v, n, bt, ps, li
-        )
-        names = ["ring_k", "ring_v", "k_cache", "v_cache", "k_scale", "v_scale"]
-        ref = [r for r in ref if r is not None]
-        for g, r, name in zip(got, ref, names):
-            if name.endswith("cache") and quant:
-                # null-page garbage differs between impls; compare real pages
-                np.testing.assert_array_equal(
-                    np.asarray(g)[:, 1:], np.asarray(r)[:, 1:], err_msg=name
-                )
-            else:
-                np.testing.assert_allclose(
-                    np.asarray(g), np.asarray(r), rtol=1e-6, atol=1e-6,
-                    err_msg=name,
-                )
-
-
-class TestRingFoldedDecodeAttention:
-    """Paged decode with the ring tail folded into the kernel vs the XLA
-    composition (paged stats + _ring_attention + _combine_attention)."""
-
-    @pytest.mark.parametrize("seed", [0, 1])
-    def test_matches_xla_composition(self, seed):
-        from nano_vllm_candle_tpu.models.qwen3 import (
-            GROUP, _combine_attention, _ring_attention,
-        )
-
-        B, nq, nkv, hd, ps = 3, 8, 4, 128, 2 * GROUP
-        q, kc, vc, bt, _ = make_case(
-            B=B, nq=nq, nkv=nkv, hd=hd, ps=ps, P=8, W=3, seed=seed
-        )
-        keys = jax.random.split(jax.random.key(seed + 100), 2)
-        rk = jax.random.normal(keys[0], (B, GROUP + 1, nkv, hd), jnp.float32)
-        rv = jax.random.normal(keys[1], (B, GROUP + 1, nkv, hd), jnp.float32)
-        # totals: mid-group tail, exactly-at-boundary (empty tail), inactive
-        n = jnp.asarray([ps + 7, ps, 0], jnp.int32)[:B]
-        committed = (n // GROUP) * GROUP
-        scale = hd ** -0.5
-
-        got = pallas_paged_decode_attention(
-            q, kc, vc, bt, committed, scale,
-            ring_k=rk[None], ring_v=rv[None], total_lens=n, interpret=True,
-        )
-
-        out1, m1, l1 = paged_decode_attention(
-            q, kc, vc, bt, committed, scale, return_stats=True
-        )
-        g = nq // nkv
-        qg = q.reshape(B, nkv, g, hd)
-        out2_u, m2, l2 = _ring_attention(qg, rk, rv, n, committed, scale)
-        shp = (B, nkv, g)
-        ref = _combine_attention(
-            out1.reshape(*shp, hd), m1.reshape(shp), l1.reshape(shp),
-            out2_u, m2, l2,
-        ).reshape(B, nq, hd)
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
-        )

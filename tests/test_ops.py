@@ -166,11 +166,10 @@ class TestPagedDecodeAttention:
         block_tables = jnp.array([[2, 5, 0], [1, 0, 0]], jnp.int32)
         ks = jax.random.split(key, 4)
         q = jax.random.normal(ks[0], (B, nq, hd), jnp.float32)
-        k_cache = jax.random.normal(ks[1], (P, nkv, ps, hd), jnp.float32)
-        v_cache = jax.random.normal(ks[2], (P, nkv, ps, hd), jnp.float32)
+        kv_cache = jax.random.normal(ks[1], (P, 2, nkv, ps, hd), jnp.float32)
         scale = hd**-0.5
 
-        out = paged_decode_attention(q, k_cache, v_cache, block_tables, seq_lens, scale)
+        out = paged_decode_attention(q, kv_cache, block_tables, seq_lens, scale)
 
         g = nq // nkv
         for b in range(B):
@@ -178,10 +177,10 @@ class TestPagedDecodeAttention:
             pages = [int(p) for p in block_tables[b]]
             # pages are head-major [nkv, ps, hd] -> token-major [ps, nkv, hd]
             k_seq = np.concatenate(
-                [np.asarray(k_cache[p]).transpose(1, 0, 2) for p in pages], axis=0
+                [np.asarray(kv_cache[p, 0]).transpose(1, 0, 2) for p in pages], axis=0
             )[:L]
             v_seq = np.concatenate(
-                [np.asarray(v_cache[p]).transpose(1, 0, 2) for p in pages], axis=0
+                [np.asarray(kv_cache[p, 1]).transpose(1, 0, 2) for p in pages], axis=0
             )[:L]
             for h in range(nq):
                 kh = h // g
