@@ -48,8 +48,11 @@ class LLM:
             if params is None:
                 from nano_vllm_candle_tpu.utils.loader import load_qwen3_params
 
+                # mesh: each tensor lands pre-sharded (never a replicated
+                # copy in one chip's HBM); quantized artifacts load directly.
                 params = load_qwen3_params(
-                    model_dir, config, dtype=jnp.dtype(engine_config.dtype)
+                    model_dir, config, dtype=jnp.dtype(engine_config.dtype),
+                    mesh=mesh,
                 )
         if config is None:
             raise ValueError("need model_dir or config")

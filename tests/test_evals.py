@@ -44,3 +44,34 @@ def test_perplexity_is_exp_of_nll_and_bounded():
     # a near-uniform random-init model can't beat ~uniform ppl by much, and
     # can't exceed the vocab-size bound by much either
     assert 1.0 < math.exp(nll) < CFG.vocab_size * 4
+
+
+def test_compare_quantization_end_to_end(tmp_path):
+    """Prove the Δppl gate harness end-to-end (VERDICT r1 item 7): fabricate
+    a real HF safetensors checkpoint, run ``compare_quantization`` for int8
+    and int4 on synthetic text via the byte-fallback tokenizer, and check
+    the gate verdict machinery. Real WikiText-2 numbers require the dataset
+    (zero-egress environment); this exercises every line of the same path.
+    """
+    from evals.ppl import compare_quantization
+    from tests.test_model_parity import make_hf_checkpoint
+
+    make_hf_checkpoint(tmp_path, tie_word_embeddings=False)
+    text = ("the quick brown fox jumps over the lazy dog. " * 30).strip()
+    (tmp_path / "synthetic.txt").write_text(text)
+
+    results = {}
+    for bits in ("int8", "int4"):
+        r = compare_quantization(
+            str(tmp_path), str(tmp_path / "synthetic.txt"), bits,
+            group_size=16, limit_tokens=192, max_delta=0.5,
+        )
+        assert math.isfinite(r["ppl_bf16"]) and r["ppl_bf16"] > 1.0
+        assert math.isfinite(r[f"ppl_{bits}"])
+        assert r["delta"] == r[f"ppl_{bits}"] - r["ppl_bf16"]
+        assert r["pass"] == (r["delta"] <= 0.5)
+        assert r["num_tokens"] == 192
+        results[bits] = r
+    # int8 must sit closer to bf16 than int4 does on the same text (loose
+    # sanity that quantization error, not noise, drives the delta)
+    assert abs(results["int8"]["delta"]) <= abs(results["int4"]["delta"]) + 0.25
