@@ -122,6 +122,16 @@ class LLMEngine:
             # All running sequences were preempted this round (impossible in
             # the reference only because its can_append is constant true).
             return StepOutput(outputs=[], is_prefill=False, num_tokens=0)
+        chunk_tokens = cached = 0
+        if is_prefill:
+            # Captured before post_process advances num_computed_tokens.
+            chunk_tokens = sum(
+                s.prefill_target - s.num_computed_tokens for s in seqs
+            )
+            cached = sum(
+                s.num_cached_tokens for s in seqs
+                if s.num_computed_tokens == s.num_cached_tokens
+            )
         try:
             token_ids = self.model_runner.run(seqs, is_prefill)
             accepted = self.scheduler.post_process(seqs, token_ids)
@@ -135,17 +145,12 @@ class LLMEngine:
             for seq in seqs
             if seq.is_finished
         ]
-        if is_prefill:
-            num_tokens = sum(len(s) - 1 - s.num_cached_tokens for s in seqs)
-        else:
-            num_tokens = -accepted
+        num_tokens = chunk_tokens if is_prefill else -accepted
 
         self.metrics["steps"] += 1
         if is_prefill:
-            self.metrics["prefill_tokens"] += num_tokens
-            self.metrics["prefix_cached_tokens"] += sum(
-                s.num_cached_tokens for s in seqs
-            )
+            self.metrics["prefill_tokens"] += chunk_tokens
+            self.metrics["prefix_cached_tokens"] += cached
         else:
             self.metrics["decode_tokens"] += accepted
         self.metrics["preemptions"] = self.scheduler.num_preemptions
@@ -230,13 +235,24 @@ class LLMEngine:
                         )
                     continue
                 if is_prefill or not pipelined:
+                    chunk_tokens = cached = 0
+                    if is_prefill:
+                        chunk_tokens = sum(
+                            s.prefill_target - s.num_computed_tokens
+                            for s in seqs
+                        )
+                        cached = sum(
+                            s.num_cached_tokens for s in seqs
+                            if s.num_computed_tokens == s.num_cached_tokens
+                        )
                     try:
                         tokens = self.model_runner.run(seqs, is_prefill)
                         accepted = self.scheduler.post_process(seqs, tokens)
                     except Exception as e:
                         self._degrade(seqs, e)
                         accepted = 0
-                    self._account(is_prefill, seqs, accepted)
+                    self._account(is_prefill, seqs, accepted,
+                                  chunk_tokens, cached)
                     if collect is not None:
                         collect(seqs)
                     continue
@@ -297,15 +313,12 @@ class LLMEngine:
             if collect is not None:
                 collect(seqs_p)
 
-    def _account(self, is_prefill: bool, seqs, accepted: int) -> None:
+    def _account(self, is_prefill: bool, seqs, accepted: int,
+                 chunk_tokens: int = 0, cached: int = 0) -> None:
         self.metrics["steps"] += 1
         if is_prefill:
-            self.metrics["prefill_tokens"] += sum(
-                len(s) - 1 - s.num_cached_tokens for s in seqs
-            )
-            self.metrics["prefix_cached_tokens"] += sum(
-                s.num_cached_tokens for s in seqs
-            )
+            self.metrics["prefill_tokens"] += chunk_tokens
+            self.metrics["prefix_cached_tokens"] += cached
         else:
             self.metrics["decode_tokens"] += accepted
         self.metrics["preemptions"] = self.scheduler.num_preemptions

@@ -134,6 +134,7 @@ class JaxModelRunner:
         seq_i32,  # [B, 2]: logits_indices, top_k
         seq_f32,  # [B, 2]: temperature, top_p
         step,
+        chunk,  # None | (block_table [W], prefix_len [1]) — chunked mode
         *,
         use_top_k: bool,
         use_top_p: bool,
@@ -144,6 +145,8 @@ class JaxModelRunner:
             seg_ids=tok_i32[:, 2],
             slot_mapping=tok_i32[:, 3],
             logits_indices=seq_i32[:, 0],
+            block_table=None if chunk is None else chunk[0],
+            prefix_len=None if chunk is None else chunk[1][0],
         )
         hidden, kv_cache = qwen3.forward(
             params, kv_cache, batch,
@@ -312,19 +315,26 @@ class JaxModelRunner:
         the null page.
         """
         G = qwen3.GROUP
-        total = sum(-(-len(s) // G) * G for s in seqs)
+
+        def span(seq):
+            start = seq.num_computed_tokens
+            end = seq.prefill_target or len(seq)
+            return start, end
+
+        total = sum(-(-(span(s)[1] - span(s)[0]) // G) * G for s in seqs)
         T = self._bucket(total)
         tok_i32 = np.zeros((T, 4), np.int32)
         tok_i32[:, 2] = -1  # seg_id padding
         t = 0
         for i, seq in enumerate(seqs):
-            L = len(seq)
-            tok_i32[t : t + L, 0] = seq.token_ids
-            tok_i32[t : t + L, 1] = np.arange(L)
+            start, end = span(seq)
+            L = end - start
+            tok_i32[t : t + L, 0] = seq.token_ids[start:end]
+            tok_i32[t : t + L, 1] = np.arange(start, end)
             tok_i32[t : t + L, 2] = i
             bs = self.block_size
             table = np.asarray(seq.block_table, np.int64)
-            idx = np.arange(L)
+            idx = np.arange(start, end)
             tok_i32[t : t + L, 3] = table[idx // bs] * bs + idx % bs
             seq_i32[i, 0] = t + L - 1
             t += -(-L // G) * G  # advance past the sequence's GROUP padding
@@ -364,12 +374,27 @@ class JaxModelRunner:
         self._step_counter += 1
         seq_i32, seq_f32, use_top_k, use_top_p = self._seq_arrays(seqs, decode=False)
         tok_i32 = self._build_prefill_tokens(seqs, seq_i32)
+        chunk = None
+        if seqs[0].num_computed_tokens > 0:
+            # Chunked / prefix-cached prefill: single sequence (scheduler
+            # invariant) whose committed prefix is read from its pages.
+            assert len(seqs) == 1
+            W = self.max_blocks_per_seq
+            bt = np.zeros((W,), np.int32)
+            nb = len(seqs[0].block_table)
+            bt[:nb] = seqs[0].block_table
+            if nb:
+                bt[nb:] = seqs[0].block_table[-1]
+            chunk = (
+                self._put(bt),
+                self._put(np.asarray([seqs[0].num_computed_tokens], np.int32)),
+            )
         tokens, self.kv_cache = self._prefill_jit(
             self.params, self.kv_cache, self._key,
             self._put(tok_i32),
             self._put(seq_i32, self._dp_spec() if self.mesh else None),
             self._put(seq_f32, self._dp_spec() if self.mesh else None),
-            step, use_top_k=use_top_k, use_top_p=use_top_p,
+            step, chunk, use_top_k=use_top_k, use_top_p=use_top_p,
         )
         host_tokens = np.asarray(jax.device_get(tokens))  # [B]
         return [[int(t)] for t in host_tokens[: len(seqs)]]

@@ -108,13 +108,10 @@ class Scheduler:
         return -(-len(seq) // g) * g
 
     def _admission_error(self, seq: Sequence) -> Optional[str]:
-        """Why this sequence can NEVER be scheduled (None if it can)."""
-        if self._padded_len(seq) > self.max_num_batched_tokens:
-            return (
-                f"prompt of {len(seq)} tokens (padded "
-                f"{self._padded_len(seq)}) exceeds max_num_batched_tokens="
-                f"{self.max_num_batched_tokens}"
-            )
+        """Why this sequence can NEVER be scheduled (None if it can).
+
+        Prompts longer than the token budget are NOT errors — chunked
+        prefill processes them across steps."""
         # Block 0 is the reserved null page.
         usable_blocks = self.block_manager.num_blocks - 1
         if seq.num_blocks > usable_blocks:
@@ -188,14 +185,31 @@ class Scheduler:
 
     def _try_schedule_prefill(self) -> List[Sequence]:
         """Admission from ``waiting`` bounded by seq cap, token budget and
-        block availability (scheduler.rs:113-157)."""
+        block availability (scheduler.rs:113-157), widened with chunked
+        prefill and the prefix-cache compute skip.
+
+        Every scheduled sequence gets ``prefill_target`` — the end of the
+        span the runner must process this step, starting from
+        ``num_computed_tokens``. Invariants the runner relies on:
+
+        - a step either batches only fresh spans (num_computed == 0) or
+          processes exactly ONE continuation/prefix sequence (the paged-
+          prefix attention is a single-sequence kernel);
+        - chunk boundaries are GROUP-aligned (page-commit windows must not
+          straddle chunks), except the final chunk;
+        - the sum of GROUP-padded span lengths fits the token budget (the
+          runner's bucket lookup can't overflow).
+
+        Budgets count GROUP-padded span lengths — exactly what the runner
+        packs into the prefill bucket.
+        """
         scheduled: List[Sequence] = []
-        num_batched_tokens = 0
-        while self.waiting:
+        budget = self.max_num_batched_tokens
+        g = self.prefill_granularity
+        while self.waiting and budget >= g:
             seq = self.waiting[0]
-            # A head that can NEVER be scheduled (e.g. it grew past the token
-            # budget while preempted) is finished with an error instead of
-            # blocking the queue forever.
+            # A head that can NEVER be scheduled is finished with an error
+            # instead of blocking the queue forever.
             err = self._admission_error(seq)
             if err is not None:
                 self.waiting.popleft()
@@ -203,32 +217,58 @@ class Scheduler:
                 continue
             if len(self.running) + len(scheduled) >= self.max_num_seqs:
                 break
-            # Budget counts GROUP-padded lengths — exactly what the runner
-            # packs into the prefill bucket (model_runner.py
-            # _build_prefill_tokens), so the bucket lookup can't overflow.
-            # Conservative pre-admission estimate (real cached count is known
-            # only after allocate() runs the prefix matcher).
-            if num_batched_tokens + self._padded_len(seq) > self.max_num_batched_tokens:
+            is_new = not seq.block_table
+            if is_new:
+                if not self.block_manager.can_allocate(seq):
+                    break
+                self.block_manager.allocate(seq)
+                if seq.num_cached_tokens >= len(seq):
+                    # Whole prompt was a prefix hit: the last token must
+                    # still be processed to produce logits to sample from,
+                    # and its last GROUP window recommitted with it.
+                    seq.num_cached_tokens = (
+                        (len(seq) - 1) // g
+                    ) * g
+                # Prefix-cache COMPUTE skip: attention/FFN run only for the
+                # uncached suffix; the cached prefix is read from its pages.
+                seq.num_computed_tokens = seq.num_cached_tokens
+
+            if seq.num_computed_tokens > 0 and scheduled:
+                # Continuation / prefix sequence: single-sequence step.
                 break
-            if not self.block_manager.can_allocate(seq):
-                break
+            remaining = len(seq) - seq.num_computed_tokens
+            padded_rem = -(-remaining // g) * g
+            if padded_rem <= budget:
+                take = remaining  # completes this step
+            else:
+                take = (budget // g) * g  # partial, GROUP-aligned
+                if take <= 0 or scheduled:
+                    break  # give it a full budget next round
+            seq.prefill_target = seq.num_computed_tokens + take
+            budget -= -(-take // g) * g
             self.waiting.popleft()
-            self.block_manager.allocate(seq)
-            if seq.num_cached_tokens >= len(seq):
-                # Whole prompt was a prefix hit: the last token must still be
-                # processed to produce logits to sample from.
-                seq.num_cached_tokens = len(seq) - 1
-            # Budget counts the full prompt: the runner currently recomputes
-            # cached-prefix tokens too (prefix hits dedup KV *memory*; the
-            # compute skip lands with cached-prefix prefill attention).
-            num_batched_tokens += self._padded_len(seq)
-            seq.status = SequenceStatus.RUNNING
             scheduled.append(seq)
+            if seq.prefill_target < len(seq):
+                # Partial chunk: stays at the head of the queue, keeps its
+                # blocks; later admissions can't leapfrog it.
+                self.waiting.appendleft(seq)
+                logger.debug(
+                    "prefill chunk seq=%d span=[%d,%d) of %d",
+                    seq.seq_id, seq.num_computed_tokens, seq.prefill_target,
+                    len(seq),
+                )
+                break
+            seq.status = SequenceStatus.RUNNING
             logger.debug(
-                "prefill admit seq=%d len=%d cached=%d batched=%d",
-                seq.seq_id, len(seq), seq.num_cached_tokens, num_batched_tokens,
+                "prefill admit seq=%d len=%d cached=%d computed=%d",
+                seq.seq_id, len(seq), seq.num_cached_tokens,
+                seq.num_computed_tokens,
             )
-        self.running.extend(scheduled)
+            if seq.num_computed_tokens > 0:
+                break  # single-sequence step (paged-prefix attention)
+        self.running.extend(
+            s for s in scheduled if s.status == SequenceStatus.RUNNING
+        )
         return scheduled
 
     def _schedule_decode(self) -> List[Sequence]:
@@ -279,6 +319,8 @@ class Scheduler:
         except ValueError:
             pass
         self.block_manager.deallocate(seq)
+        seq.num_computed_tokens = 0  # KV freed; re-prefill from scratch
+        seq.prefill_target = 0
         seq.status = SequenceStatus.WAITING
         self.waiting.appendleft(seq)
 
@@ -295,6 +337,15 @@ class Scheduler:
         assert len(seqs) == len(token_ids)
         accepted = 0
         for seq, tokens in zip(seqs, token_ids):
+            if seq.prefill_target and seq.prefill_target < len(seq):
+                # Partial prefill chunk: record progress, discard the
+                # (speculatively sampled) token, stay in the waiting queue.
+                seq.num_computed_tokens = seq.prefill_target
+                seq.prefill_target = 0
+                continue
+            if seq.prefill_target:
+                seq.num_computed_tokens = len(seq)
+                seq.prefill_target = 0
             if seq.is_finished:
                 # Pipelined decode: a chained burst was dispatched before this
                 # sequence's finish was known; its speculative tokens (and KV

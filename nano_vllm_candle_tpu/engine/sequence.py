@@ -44,6 +44,13 @@ class Sequence:
         # resumed prefill). The reference sets this in its stub allocate
         # (block_manager.rs:76) — incorrectly to seq.len(); here it is real.
         self.num_cached_tokens: int = 0
+        # Prompt tokens whose KV is committed AND whose attention has been
+        # computed (chunked prefill resumes here; prefix-cache hits start it
+        # at num_cached_tokens — the compute skip).
+        self.num_computed_tokens: int = 0
+        # End of the prefill span scheduled this step (set by the scheduler;
+        # == len(seq) for a completing prefill, less for a partial chunk).
+        self.prefill_target: int = 0
         self.temperature = sampling_params.temperature
         self.max_tokens = sampling_params.max_tokens
         self.ignore_eos = sampling_params.ignore_eos

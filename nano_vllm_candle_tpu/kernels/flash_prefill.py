@@ -39,15 +39,17 @@ def _prefill_kernel(
     k_ref,  # [1, Bk, hd]
     v_ref,  # [1, Bk, hd]
     o_ref,  # [1, Bq, hd]
-    m_scr,  # [Bq, 128] f32
-    l_scr,  # [Bq, 128] f32
-    acc_scr,  # [Bq, hd] f32
-    *,
+    *rest,  # [mo_ref, lo_ref,] m_scr, l_scr, acc_scr
     scale: float,
     block_q: int,
     block_k: int,
     num_k_tiles: int,
+    return_stats: bool,
 ):
+    if return_stats:
+        mo_ref, lo_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        m_scr, l_scr, acc_scr = rest
     qt = pl.program_id(1)
     kt = pl.program_id(2)
 
@@ -99,10 +101,16 @@ def _prefill_kernel(
         l = l_scr[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[...] / safe_l).astype(o_ref.dtype)
+        if return_stats:
+            # Full (Bq, 128)-broadcast stats blocks (tile-aligned output);
+            # callers read column 0.
+            mo_ref[0] = m_scr[...]
+            lo_ref[0] = l_scr[...]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "interpret", "return_stats"),
 )
 def pallas_packed_prefill_attention(
     q: jax.Array,  # [T, nq, hd]
@@ -115,7 +123,14 @@ def pallas_packed_prefill_attention(
     block_q: int = 256,
     block_k: int = 256,
     interpret: bool = False,
-) -> jax.Array:
+    return_stats: bool = False,
+):
+    """Packed-segment causal flash attention.
+
+    ``return_stats=True`` additionally returns the online-softmax statistics
+    ``(m, l)`` as f32 ``[T, nq]`` (row max and exp-sum) for flash-merging
+    with another attention source (the paged-prefix part of chunked /
+    prefix-cached prefill, ``ops/attention.merge_attention_parts``)."""
     T, nq, hd = q.shape
     nkv = k.shape[1]
     g = nq // nkv
@@ -134,8 +149,21 @@ def pallas_packed_prefill_attention(
     kernel = functools.partial(
         _prefill_kernel,
         scale=scale, block_q=block_q, block_k=block_k, num_k_tiles=num_k_tiles,
+        return_stats=return_stats,
     )
-    out = pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((nq, T, hd), q.dtype)
+    out_specs = pl.BlockSpec((1, block_q, hd), lambda h, qt, kt: (h, qt, 0))
+    if return_stats:
+        stat_spec = pl.BlockSpec(
+            (1, block_q, 128), lambda h, qt, kt: (h, qt, 0)
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((nq, T, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nq, T, 128), jnp.float32),
+        )
+        out_specs = (out_specs, stat_spec, stat_spec)
+    res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
@@ -157,16 +185,14 @@ def pallas_packed_prefill_attention(
                     (1, block_k, hd), lambda h, qt, kt, g=g: (h // g, kt, 0)
                 ),
             ],
-            out_specs=pl.BlockSpec(
-                (1, block_q, hd), lambda h, qt, kt: (h, qt, 0)
-            ),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, hd), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((nq, T, hd), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -180,4 +206,195 @@ def pallas_packed_prefill_attention(
         kh,
         vh,
     )
-    return out.transpose(1, 0, 2)
+    if return_stats:
+        out, m, l = res
+        return (
+            out.transpose(1, 0, 2),
+            m[:, :, 0].T,  # [T, nq]
+            l[:, :, 0].T,
+        )
+    return res.transpose(1, 0, 2)
+
+
+# --------------------------------------------------------------------------
+# Chunk-vs-prefix attention (chunked / prefix-cached prefill)
+# --------------------------------------------------------------------------
+
+
+def _prefix_kernel(
+    li_ref,  # [1] int32 layer index
+    bt_ref,  # [W] int32 the sequence's pages
+    plen_ref,  # [1] int32 committed prefix length
+    q_ref,  # [1, Bq, hd]
+    k_ref,  # [1, 1, 1, 1, ps, hd]
+    v_ref,
+    *rest,  # [ks_ref, vs_ref,] o_ref, mo_ref, lo_ref, m_scr, l_scr, acc_scr
+    scale: float,
+    page_size: int,
+    num_pages: int,
+    quantized: bool,
+):
+    if quantized:
+        ks_ref, vs_ref, o_ref, mo_ref, lo_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, mo_ref, lo_ref, m_scr, l_scr, acc_scr = rest
+    w = pl.program_id(2)
+    ps = page_size
+    plen = plen_ref[0]
+
+    @pl.when(w == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(w * ps < plen)
+    def _compute():
+        q = q_ref[0]  # [Bq, hd]
+        k = k_ref[0, 0, 0, 0]  # [ps, hd]
+        v = v_ref[0, 0, 0, 0]
+        ks = vs = None
+        if quantized:
+            cdt = q.dtype if q.dtype != jnp.int8 else jnp.bfloat16
+            ks = ks_ref[0, 0, 0, 0]  # [ps] f32... stored as [1, ps]
+            vs = vs_ref[0, 0, 0, 0]
+            k = k.astype(cdt)
+            v = v.astype(cdt)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [Bq, ps]
+        if ks is not None:
+            s = s * ks[None, :]
+        # Every prefix position precedes every chunk position: only the
+        # prefix-length bound masks.
+        tok = w * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = tok < plen
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        p = jnp.where(mask, p, 0.0)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        if vs is not None:
+            p = p * vs[None, :]
+        pv = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(w == num_pages - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[...] / safe_l).astype(o_ref.dtype)
+        mo_ref[0] = m_scr[...]
+        lo_ref[0] = l_scr[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "interpret")
+)
+def pallas_prefix_attention(
+    q: jax.Array,  # [T, nq, hd] chunk queries (ONE sequence)
+    kv_cache: jax.Array,  # [L, P, 2, nkv, ps, hd]
+    block_table: jax.Array,  # [W] int32 (padded with the last valid page)
+    prefix_len: jax.Array,  # scalar int32
+    scale: float,
+    *,
+    kv_scale=None,  # [L, P, 2, nkv, ps] f32 (int8 KV)
+    layer_index=None,
+    block_q: int = 256,
+    interpret: bool = False,
+):
+    """Chunk-vs-prefix attention for chunked / prefix-cached prefill: every
+    chunk token attends to the sequence's entire committed prefix
+    ``[0, prefix_len)``. Grid ``(nq, T/Bq, W)`` streams each prefix page
+    once per kv-head-group (pages ride the Pallas pipeline exactly like the
+    decode kernel); returns normalized ``(out [T, nq, hd], m [T, nq],
+    l [T, nq])`` for ``ops.attention.merge_attention_parts`` with the
+    in-chunk flash part. ``l == 0`` rows (prefix_len == 0) merge to a no-op.
+
+    XLA twin: ``ops/attention.prefix_attention``.
+    """
+    T, nq, hd = q.shape
+    L, P, _, nkv, ps, _ = kv_cache.shape
+    g = nq // nkv
+    W = block_table.shape[0]
+    quantized = kv_scale is not None
+    block_q = min(block_q, T)
+    if T % block_q:
+        raise ValueError(f"T={T} must be a multiple of block_q={block_q}")
+    li = jnp.asarray(layer_index if layer_index is not None else 0,
+                     jnp.int32).reshape(1)
+    plen = jnp.asarray(prefix_len, jnp.int32).reshape(1)
+
+    qh = q.transpose(1, 0, 2)  # [nq, T, hd]
+
+    def q_map(h, qt, w, *_):
+        return (h, qt, 0)
+
+    def k_map(h, qt, w, li_ref, bt_ref, plen_ref, g=g):
+        return (li_ref[0], bt_ref[w], 0, h // g, 0, 0)
+
+    def v_map(h, qt, w, li_ref, bt_ref, plen_ref, g=g):
+        return (li_ref[0], bt_ref[w], 1, h // g, 0, 0)
+
+    def ks_map(h, qt, w, li_ref, bt_ref, plen_ref, g=g):
+        return (li_ref[0], bt_ref[w], 0, h // g, 0)
+
+    def vs_map(h, qt, w, li_ref, bt_ref, plen_ref, g=g):
+        return (li_ref[0], bt_ref[w], 1, h // g, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, hd), q_map),
+        pl.BlockSpec((1, 1, 1, 1, ps, hd), k_map),
+        pl.BlockSpec((1, 1, 1, 1, ps, hd), v_map),
+    ]
+    operands = [qh, kv_cache, kv_cache]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, 1, ps), ks_map),
+            pl.BlockSpec((1, 1, 1, 1, ps), vs_map),
+        ]
+        operands += [kv_scale, kv_scale]
+
+    stat_spec = pl.BlockSpec((1, block_q, 128), q_map)
+    res = pl.pallas_call(
+        functools.partial(
+            _prefix_kernel, scale=scale, page_size=ps, num_pages=W,
+            quantized=quantized,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nq, T // block_q, W),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((1, block_q, hd), q_map),
+                stat_spec,
+                stat_spec,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, hd), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, T, hd), q.dtype),
+            jax.ShapeDtypeStruct((nq, T, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nq, T, 128), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(li, block_table.astype(jnp.int32), plen, *operands)
+    out, m, l = res
+    return out.transpose(1, 0, 2), m[:, :, 0].T, l[:, :, 0].T

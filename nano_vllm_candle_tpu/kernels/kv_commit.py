@@ -46,9 +46,28 @@ def _groups_kernel(li_ref, pages_ref, goffs_ref, upd_ref, kv_ref, o_ref):
 
 
 def _groups_scales_kernel(li_ref, pages_ref, goffs_ref, upd_ref, s_upd_ref,
-                          kv_ref, s_ref, o_ref, so_ref):
+                          kv_ref, s_in, o_ref, so_ref):
+    n = pl.program_id(0)
     o_ref[...] = upd_ref[...][None]
-    so_ref[...] = s_upd_ref[...][None]
+    # Scale planes: Mosaic forbids a (.., nkv, G) block (last dim neither
+    # 128-divisible nor full), so RMW the page's full [2, nkv, ps] plane
+    # (~2 KB) and mask the window's columns in.
+    _, _, _, nkv, ps = s_in.shape
+    G = s_upd_ref.shape[-1]
+    off = goffs_ref[n] * G
+    plane = s_in[0, 0]  # [2, nkv, ps]
+    col = jax.lax.broadcasted_iota(jnp.int32, (2, nkv, ps), 2)
+    # Place the G update columns at [off, off+G) via a one-hot matmul
+    # (Mosaic has no dynamic_update_slice): M[i, c] = 1 iff c == off + i.
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (G, ps), 1)
+        == off + jax.lax.broadcasted_iota(jnp.int32, (G, ps), 0)
+    ).astype(jnp.float32)
+    upd_full = jax.lax.dot(
+        s_upd_ref[0].reshape(2 * nkv, G), onehot,
+        preferred_element_type=jnp.float32,
+    ).reshape(2, nkv, ps)
+    so_ref[0, 0] = jnp.where((col >= off) & (col < off + G), upd_full, plane)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -80,6 +99,11 @@ def pallas_commit_groups(
     def scache_map(n, li_ref, pages_ref, goffs_ref):
         return (li_ref[0], pages_ref[n], 0, 0, goffs_ref[n])
 
+    ps = kv_cache.shape[-2]
+
+    def splane_map(n, li_ref, pages_ref, goffs_ref):
+        return (li_ref[0], pages_ref[n], 0, 0, 0)
+
     in_specs = [pl.BlockSpec((1, 2, nkv, G, hd), upd_map)]
     operands = [upd.astype(kv_cache.dtype)]
     out_specs = [pl.BlockSpec((1, 1, 2, nkv, G, hd), cache_map)]
@@ -87,9 +111,12 @@ def pallas_commit_groups(
     aliased = [kv_cache]
     kernel = _groups_kernel
     if quantized:
+        # Full-plane RMW spec (see _groups_scales_kernel): the plane rides
+        # as an aliased input AND the output.
+        splane_spec = pl.BlockSpec((1, 1, 2, nkv, ps), splane_map)
         in_specs.append(pl.BlockSpec((1, 2, nkv, G), supd_map))
         operands.append(scale_upd)
-        out_specs.append(pl.BlockSpec((1, 1, 2, nkv, G), scache_map))
+        out_specs.append(splane_spec)
         out_shapes.append(
             jax.ShapeDtypeStruct(kv_scale_cache.shape, kv_scale_cache.dtype)
         )
@@ -97,9 +124,11 @@ def pallas_commit_groups(
         kernel = _groups_scales_kernel
 
     n_prefetch = 3
-    in_specs += [pl.BlockSpec(memory_space=pl.ANY) for _ in aliased]
-    # Aliased inputs come AFTER the update operands; input indices count
-    # scalar-prefetch args first.
+    # Aliased inputs come AFTER the update operands; the KV cache rides as
+    # ANY (its windows are write-only), the scale plane with its RMW spec.
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    if quantized:
+        in_specs.append(splane_spec)
     input_output_aliases = {
         n_prefetch + len(operands) + i: i for i in range(len(aliased))
     }
@@ -146,9 +175,13 @@ def _row_kernel(li_ref, pages_ref, row8_ref, rowin_ref,
         scale = jnp.where(amax > 0, amax / 127.0, 1.0)
         qrow = jnp.clip(jnp.round(rf / scale[..., None]), -127, 127)
         ins = qrow.astype(win.dtype)
-        swin = swin_in[0, 0]  # [2, nkv, 8]
-        col = jax.lax.broadcasted_iota(jnp.int32, (2, nkv, G), 2)
-        swin_out[0, 0] = jnp.where(col == rowin, scale[..., None], swin)
+        # Full-plane RMW for the scales (a (.., nkv, G) block is not a
+        # legal Mosaic window; the plane is ~2 KB).
+        plane = swin_in[0, 0]  # [2, nkv, ps]
+        ps_s = plane.shape[-1]
+        scol = row8_ref[b] * G + rowin
+        col = jax.lax.broadcasted_iota(jnp.int32, (2, nkv, ps_s), 2)
+        swin_out[0, 0] = jnp.where(col == scol, scale[..., None], plane)
     else:
         ins = rows[0].astype(win.dtype)
     ridx = jax.lax.broadcasted_iota(jnp.int32, (2, nkv, G, hd), 2)
@@ -187,7 +220,7 @@ def pallas_row_commit(
         return (li_ref[0], pages_ref[b], 0, 0, row8_ref[b], 0)
 
     def swin_map(b, li_ref, pages_ref, row8_ref, rowin_ref):
-        return (li_ref[0], pages_ref[b], 0, 0, row8_ref[b])
+        return (li_ref[0], pages_ref[b], 0, 0, 0)
 
     win_spec = pl.BlockSpec((1, 1, 2, nkv, G, hd), win_map)
     in_specs = [
@@ -198,7 +231,7 @@ def pallas_row_commit(
     out_specs = [win_spec]
     out_shapes = [jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype)]
     if quantized:
-        swin_spec = pl.BlockSpec((1, 1, 2, nkv, G), swin_map)
+        swin_spec = pl.BlockSpec((1, 1, 2, nkv, ps), swin_map)
         in_specs.append(swin_spec)
         operands.append(kv_scale)
         out_specs.append(swin_spec)

@@ -67,26 +67,31 @@ def _decode_kernel(
     seq_lens_ref,  # [B] int32 total context length INCLUDING the new token
     block_tables_ref,  # [B, W] int32, rows padded with their last valid page
     # blocks
-    qn_ref,  # [1, nkv, g+2, hd]: q heads + current k row + current v row
+    qn_ref,  # [1, nkv, g(+2), hd]: q heads (+ current k row + current v row)
     kv_ref,  # [1, 1, 2, nkv, ps, hd] combined page
-    *rest,  # [s_ref,] o_ref, m_ref, l_ref, acc_ref
+    *rest,  # [s_ref,] o_ref, [mo_ref, lo_ref,] m_ref, l_ref, acc_ref
     scale: float,
     page_size: int,
     num_pages_per_seq: int,
     quantized: bool,
+    fold_new: bool,
+    return_stats: bool,
 ):
     if quantized:
-        s_ref, o_ref, m_ref, l_ref, acc_ref = rest
+        s_ref, *rest = rest
+    if return_stats:
+        o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = rest
     else:
         o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     w = pl.program_id(1)
     ps = page_size
     _, nkv, g2, hd = qn_ref.shape
-    g = g2 - 2
+    g = g2 - 2 if fold_new else g2
     nq = nkv * g
     seq_len = seq_lens_ref[b]
-    n_paged = seq_len - 1  # tokens living in pages (current token folded)
+    # Tokens living in pages (the current token, when folded, is not).
+    n_paged = seq_len - 1 if fold_new else seq_len
 
     @pl.when(w == 0)
     def _init():
@@ -146,33 +151,44 @@ def _decode_kernel(
     def _fold_new_and_finalize():
         # Fold the current token (exact activation-dtype row, no page round
         # trip), then normalize and emit.
-        q = qn_ref[0, :, :g]
-        k_new = qn_ref[0, :, g]  # [nkv, hd]
-        v_new = qn_ref[0, :, g + 1]
-        s_new = jnp.sum(
-            q.astype(jnp.float32) * k_new.astype(jnp.float32)[:, None, :],
-            axis=-1,
-        ) * scale  # [nkv, g]
-        s2 = s_new.reshape(nq, 1)
-        active = seq_len > 0
-        s2 = jnp.where(active, s2, MASK_VALUE)
-        m_prev = m_ref[:, :1]
-        l_prev = l_ref[:, :1]
-        m_next = jnp.maximum(m_prev, s2)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s2 - m_next)
-        p = jnp.where(active, p, 0.0)
-        l = alpha * l_prev + p
-        vb = jnp.broadcast_to(
-            v_new.astype(jnp.float32)[:, None, :], (nkv, g, hd)
-        ).reshape(nq, hd)
-        acc = acc_ref[...] * alpha + p * vb
+        if fold_new:
+            q = qn_ref[0, :, :g]
+            k_new = qn_ref[0, :, g]  # [nkv, hd]
+            v_new = qn_ref[0, :, g + 1]
+            s_new = jnp.sum(
+                q.astype(jnp.float32) * k_new.astype(jnp.float32)[:, None, :],
+                axis=-1,
+            ) * scale  # [nkv, g]
+            s2 = s_new.reshape(nq, 1)
+            active = seq_len > 0
+            s2 = jnp.where(active, s2, MASK_VALUE)
+            m_prev = m_ref[:, :1]
+            l_prev = l_ref[:, :1]
+            m_next = jnp.maximum(m_prev, s2)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s2 - m_next)
+            p = jnp.where(active, p, 0.0)
+            l = alpha * l_prev + p
+            vb = jnp.broadcast_to(
+                v_new.astype(jnp.float32)[:, None, :], (nkv, g, hd)
+            ).reshape(nq, hd)
+            acc = acc_ref[...] * alpha + p * vb
+            m2 = m_next
+        else:
+            l = l_ref[:, :1]
+            acc = acc_ref[...]
+            m2 = m_ref[:, :1]
 
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc / safe_l).reshape(nkv, g, hd).astype(o_ref.dtype)
+        if return_stats:
+            mo_ref[0] = jnp.broadcast_to(m2, mo_ref.shape[1:])
+            lo_ref[0] = jnp.broadcast_to(l, lo_ref.shape[1:])
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret", "return_stats")
+)
 def pallas_paged_decode_attention(
     q: jax.Array,  # [B, nq, hd]
     kv_cache: jax.Array,  # [L, P, 2, nkv, ps, hd] (or rank 5: layer 0)
@@ -185,6 +201,7 @@ def pallas_paged_decode_attention(
     kv_scale: Optional[jax.Array] = None,  # [L, P, 2, nkv, ps] f32 (int8 KV)
     layer_index: Optional[jax.Array] = None,
     interpret: bool = False,
+    return_stats: bool = False,
 ):
     """Decode attention against one layer of the full stacked paged cache.
 
@@ -214,15 +231,22 @@ def pallas_paged_decode_attention(
     L, P, _, nkv, ps, _ = kv_cache.shape
     g = nq // nkv
     W = block_tables.shape[1]
-    qn = jnp.concatenate(
-        [
-            q.reshape(B, nkv, g, hd),
-            new_k.reshape(B, nkv, 1, hd).astype(q.dtype),
-            new_v.reshape(B, nkv, 1, hd).astype(q.dtype),
-        ],
-        axis=2,
-    )  # [B, nkv, g+2, hd]
+    fold_new = new_k is not None
+    if fold_new:
+        qn = jnp.concatenate(
+            [
+                q.reshape(B, nkv, g, hd),
+                new_k.reshape(B, nkv, 1, hd).astype(q.dtype),
+                new_v.reshape(B, nkv, 1, hd).astype(q.dtype),
+            ],
+            axis=2,
+        )  # [B, nkv, g+2, hd]
+    else:
+        # No fold: pages hold the full [0, seq_lens) context (the paged-
+        # prefix part of chunked / prefix-cached prefill).
+        qn = q.reshape(B, nkv, g, hd)
     li = jnp.asarray(layer_index, jnp.int32).reshape(1)
+    g2 = qn.shape[2]
 
     def qn_map(b, w, *_):
         return (b, 0, 0, 0)
@@ -234,7 +258,7 @@ def pallas_paged_decode_attention(
         return (li_ref[0], block_tables_ref[b, w], 0, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, nkv, g + 2, hd), qn_map),
+        pl.BlockSpec((1, nkv, g2, hd), qn_map),
         pl.BlockSpec((1, 1, 2, nkv, ps, hd), kv_map),
     ]
     operands = [qn, kv_cache]
@@ -244,13 +268,29 @@ def pallas_paged_decode_attention(
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, page_size=ps, num_pages_per_seq=W,
-        quantized=quantized,
+        quantized=quantized, fold_new=fold_new, return_stats=return_stats,
     )
+    out_shape = jax.ShapeDtypeStruct((B, nkv, g, hd), q.dtype)
+    out_specs = pl.BlockSpec((1, nkv, g, hd), qn_map)
+    if return_stats:
+        def stat_map(b, w, *_):
+            return (b, 0, 0)
+
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((B, nq, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, nq, 128), jnp.float32),
+        )
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((1, nq, 128), stat_map),
+            pl.BlockSpec((1, nq, 128), stat_map),
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, W),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, nkv, g, hd), qn_map),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((nq, 128), jnp.float32),  # m
             pltpu.VMEM((nq, 128), jnp.float32),  # l
@@ -260,10 +300,13 @@ def pallas_paged_decode_attention(
     res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, nkv, g, hd), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(li, seq_lens, block_tables, *operands)
+    if return_stats:
+        out, m, l = res
+        return out.reshape(B, nq, hd), m[:, :, 0], l[:, :, 0]
     return res.reshape(B, nq, hd)

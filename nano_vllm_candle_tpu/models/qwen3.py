@@ -37,8 +37,10 @@ from nano_vllm_candle_tpu.config import Qwen3Config
 from nano_vllm_candle_tpu.ops.activation import silu_and_mul
 from nano_vllm_candle_tpu.ops.attention import (
     MASK_VALUE,
+    merge_attention_parts,
     packed_prefill_attention,
     paged_decode_attention,
+    prefix_attention,
 )
 from nano_vllm_candle_tpu.layers.linear import TRANSPOSED_PROJS, matmul
 from nano_vllm_candle_tpu.ops.layernorm import head_rms_norm, rms_norm
@@ -58,13 +60,22 @@ GROUP = 8
 
 
 class PrefillBatch(NamedTuple):
-    """Packed multi-sequence prefill inputs (static T per bucket)."""
+    """Packed multi-sequence prefill inputs (static T per bucket).
+
+    ``block_table``/``prefix_len`` switch on the chunked / prefix-cached
+    mode: the stream then holds ONE sequence's token span
+    ``[prefix_len, prefix_len + real_T)`` whose committed prefix lives in
+    the pages of ``block_table`` — attention = in-stream causal part
+    flash-merged with the paged-prefix part. None = plain prefill (every
+    sequence processed from position 0)."""
 
     token_ids: jax.Array  # [T] int32
     positions: jax.Array  # [T] int32 (0 for padding)
     seg_ids: jax.Array  # [T] int32, -1 for padding
     slot_mapping: jax.Array  # [T] int32 flat cache slot (page*page_size+off)
     logits_indices: jax.Array  # [B] int32 token index of each seq's last token
+    block_table: Optional[jax.Array] = None  # [W] int32 (chunked mode)
+    prefix_len: Optional[jax.Array] = None  # scalar int32 (chunked mode)
 
 
 class DecodeBatch(NamedTuple):
@@ -360,6 +371,7 @@ def _decoder_layer(
     ps = kv.shape[4]
 
     if mode == "prefill":
+        chunked = batch.prefix_len is not None
         if attn_impl == "pallas":
             if "commit" not in ABLATE:
                 kv, kvs = _commit_prefill_groups(
@@ -367,16 +379,44 @@ def _decoder_layer(
                 )
             from nano_vllm_candle_tpu.kernels.flash_prefill import (
                 pallas_packed_prefill_attention,
+                pallas_prefix_attention,
             )
 
-            attn_out = pallas_packed_prefill_attention(
-                q, k, v, batch.seg_ids, batch.positions, scale
-            )
+            if chunked:
+                o_s, m_s, l_s = pallas_packed_prefill_attention(
+                    q, k, v, batch.seg_ids, batch.positions, scale,
+                    return_stats=True,
+                )
+                o_p, m_p, l_p = pallas_prefix_attention(
+                    q, kv, batch.block_table, batch.prefix_len, scale,
+                    kv_scale=kvs, layer_index=li,
+                )
+                attn_out = merge_attention_parts(o_s, m_s, l_s, o_p, m_p, l_p)
+            else:
+                attn_out = pallas_packed_prefill_attention(
+                    q, k, v, batch.seg_ids, batch.positions, scale
+                )
         else:
             kv, kvs = _write_kv(kv, kvs, k, v, batch.slot_mapping, li)
-            attn_out = packed_prefill_attention(
-                q, k, v, batch.seg_ids, batch.positions, scale
-            )
+            if chunked:
+                o_s, m_s, l_s = packed_prefill_attention(
+                    q, k, v, batch.seg_ids, batch.positions, scale,
+                    return_stats=True,
+                )
+                kv_l = jax.lax.dynamic_index_in_dim(kv, li, 0, keepdims=False)
+                kvs_l = (
+                    jax.lax.dynamic_index_in_dim(kvs, li, 0, keepdims=False)
+                    if kvs is not None else None
+                )
+                o_p, m_p, l_p = prefix_attention(
+                    q, kv_l, batch.block_table, batch.prefix_len, scale,
+                    kv_scale=kvs_l,
+                )
+                attn_out = merge_attention_parts(o_s, m_s, l_s, o_p, m_p, l_p)
+            else:
+                attn_out = packed_prefill_attention(
+                    q, k, v, batch.seg_ids, batch.positions, scale
+                )
     elif attn_impl == "pallas":
         # Attention over pages [0, n-1) with the current token's k/v folded
         # in-kernel from registers; the page commit happens AFTER attention

@@ -22,6 +22,24 @@ import jax.numpy as jnp
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def merge_attention_parts(o1, m1, l1, o2, m2, l2):
+    """Flash-merge two NORMALIZED partial attentions with their online-
+    softmax stats (row max ``m``, exp-sum ``l``; ``l == 0`` marks an empty
+    part). Shapes: ``o* [T, nq, hd]``, ``m*/l* [T, nq]``. Used to combine
+    the in-stream suffix attention with the paged-prefix attention in
+    chunked / prefix-cached prefill."""
+    m = jnp.maximum(m1, m2)
+    w1 = l1 * jnp.exp(m1 - m)
+    w2 = l2 * jnp.exp(m2 - m)
+    denom = w1 + w2
+    safe = jnp.where(denom == 0.0, 1.0, denom)
+    num = (
+        o1.astype(jnp.float32) * w1[..., None]
+        + o2.astype(jnp.float32) * w2[..., None]
+    )
+    return (num / safe[..., None]).astype(o1.dtype)
+
+
 def packed_prefill_attention(
     q: jax.Array,
     k: jax.Array,
@@ -29,7 +47,8 @@ def packed_prefill_attention(
     seg_ids: jax.Array,
     positions: jax.Array,
     scale: float,
-) -> jax.Array:
+    return_stats: bool = False,
+):
     """Causal self-attention over a packed (multi-sequence) token batch.
 
     Multiple prompts are concatenated into one ``[T]`` token stream (static
@@ -65,9 +84,23 @@ def packed_prefill_attention(
     mask = same_seg & causal & valid  # [T_q, T_kv]
     scores = jnp.where(mask[None, None], scores, MASK_VALUE)
 
+    if return_stats:
+        m = jnp.max(scores, axis=-1)  # [nkv, g, T]
+        p = jnp.exp(scores - m[..., None])
+        p = jnp.where(mask[None, None], p, 0.0)
+        l = jnp.sum(p, axis=-1)
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        out = jnp.einsum("kgts,skd->tkgd", p.astype(v.dtype), v)
+        out = out / safe_l.transpose(2, 0, 1)[..., None].astype(v.dtype)
+        return (
+            out.reshape(T, nq, hd).astype(q.dtype),
+            m.transpose(2, 0, 1).reshape(T, nq),
+            l.transpose(2, 0, 1).reshape(T, nq),
+        )
+
     weights = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("kgts,skd->tkgd", weights.astype(v.dtype), v)
-    return out.reshape(T, nq, hd)
+    return out.reshape(T, nq, hd).astype(q.dtype)
 
 
 def paged_decode_attention(
@@ -164,3 +197,64 @@ def paged_decode_attention(
     # activations (e.g. f32 cache under bf16 weights) and the layer-scan
     # carry requires a stable hidden dtype.
     return out.reshape(B, nq, hd).astype(q.dtype)
+
+
+def prefix_attention(
+    q: jax.Array,  # [T, nq, hd] chunk queries (one sequence)
+    kv_cache: jax.Array,  # [P, 2, nkv, ps, hd] (one layer)
+    block_table: jax.Array,  # [W] int32 the sequence's pages
+    prefix_len: jax.Array,  # scalar int32: tokens already in pages
+    scale: float,
+    kv_scale: jax.Array | None = None,  # [P, 2, nkv, ps] f32 (int8 KV)
+):
+    """Chunk-vs-prefix attention for chunked / prefix-cached prefill: every
+    chunk token attends to the sequence's ENTIRE committed prefix
+    ``[0, prefix_len)`` (all prefix positions precede every chunk position,
+    so no causal masking is needed). Returns normalized ``(out, m, l)``
+    stats for ``merge_attention_parts`` with the in-chunk attention.
+
+    XLA twin of ``kernels/flash_prefill.pallas_prefix_attention``.
+    """
+    T, nq, hd = q.shape
+    _, _, nkv, ps, _ = kv_cache.shape
+    g = nq // nkv
+    W = block_table.shape[0]
+    S = W * ps
+
+    kv = jnp.take(kv_cache, block_table, axis=0)  # [W, 2, nkv, ps, hd]
+    k = kv[:, 0]
+    v = kv[:, 1]
+    ks = vs = None
+    if kv_scale is not None:
+        s_all = jnp.take(kv_scale, block_table, axis=0)  # [W, 2, nkv, ps]
+        ks = s_all[:, 0].transpose(1, 0, 2).reshape(nkv, S)
+        vs = s_all[:, 1].transpose(1, 0, 2).reshape(nkv, S)
+        cdt = q.dtype if q.dtype != jnp.int8 else jnp.bfloat16
+        k = k.astype(cdt)
+        v = v.astype(cdt)
+    k = jnp.swapaxes(k, 0, 1).reshape(nkv, S, hd)
+    v = jnp.swapaxes(v, 0, 1).reshape(nkv, S, hd)
+
+    qg = q.reshape(T, nkv, g, hd)
+    scores = jnp.einsum(
+        "tkgd,ksd->kgts", qg, k, preferred_element_type=jnp.float32
+    ) * scale  # [nkv, g, T, S]
+    if ks is not None:
+        scores = scores * ks[:, None, None, :]
+    mask = jnp.arange(S, dtype=jnp.int32)[None, None, None, :] < prefix_len
+    scores = jnp.where(mask, scores, MASK_VALUE)
+
+    m = jnp.max(scores, axis=-1)  # [nkv, g, T]
+    p = jnp.exp(scores - m[..., None])
+    p = jnp.where(mask, p, 0.0)
+    l = jnp.sum(p, axis=-1)
+    safe_l = jnp.where(l == 0.0, 1.0, l)
+    if vs is not None:
+        p = p * vs[:, None, None, :]
+    out = jnp.einsum("kgts,ksd->tkgd", p.astype(v.dtype), v)
+    out = out / safe_l.transpose(2, 0, 1)[..., None].astype(v.dtype)
+    return (
+        out.reshape(T, nq, hd).astype(q.dtype),
+        m.transpose(2, 0, 1).reshape(T, nq),
+        l.transpose(2, 0, 1).reshape(T, nq),
+    )

@@ -350,12 +350,16 @@ class TestRobustness:
             Scheduler(SchedulerConfig(**defaults)), runner or DummyModelRunner()
         )
 
-    def test_oversized_prompt_rejected_not_livelocked(self):
+    def test_long_prompt_chunks_and_completes(self):
+        """A prompt longer than max_num_batched_tokens is processed in
+        chunks (round-2 chunked prefill) instead of rejected/livelocked."""
         eng = self.engine()  # budget 64
-        out = eng.generate([list(range(100))], SamplingParams(max_tokens=4))
-        assert out[0].error is not None
-        assert "max_num_batched_tokens" in out[0].error
-        assert out[0].token_ids == [100]  # degraded to EOS emission
+        out = eng.generate(
+            [list(range(1, 101))], SamplingParams(max_tokens=4, ignore_eos=True)
+        )
+        assert out[0].error is None
+        assert out[0].token_ids == [101, 102, 103, 104]
+        assert eng.metrics["prefill_tokens"] == 100  # every token computed once
         assert eng.is_finished()
 
     def test_prompt_needing_more_blocks_than_exist_rejected(self):
@@ -365,19 +369,20 @@ class TestRobustness:
         assert out[0].error is not None and "KV blocks" in out[0].error
 
     def test_good_requests_survive_alongside_rejected(self):
-        eng = self.engine()
+        eng = self.engine(num_kvcache_blocks=8)  # 7 usable blocks of 4
         outs = eng.generate(
-            [[10], list(range(100)), [20]],
+            [[10], list(range(40)), [20]],  # middle needs 10 blocks > 7
             SamplingParams(max_tokens=2, ignore_eos=True),
         )
         assert outs[0].token_ids == [11, 12] and outs[0].error is None
-        assert outs[1].error is not None
+        assert outs[1].error is not None and "KV blocks" in outs[1].error
         assert outs[2].token_ids == [21, 22] and outs[2].error is None
 
     def test_group_padded_budget_admission(self):
-        """9 x 454-token prompts: raw sum 4086 <= 4096 but GROUP-padded sum
-        4320 > 4096 — counting raw lengths would overflow the runner's
-        largest bucket mid-serve (round-1 crash)."""
+        """9 x 454-token prompts with granularity 32: raw sum 4086 <= 4096
+        but padded sum 4320 > 4096 — counting raw lengths would overflow the
+        runner's largest bucket mid-serve (round-1 crash). The 9th prompt
+        must wait (a partial chunk is only scheduled alone)."""
         s = Scheduler(SchedulerConfig(
             max_num_seqs=16,
             max_num_batched_tokens=4096,
@@ -385,8 +390,10 @@ class TestRobustness:
             kvcache_block_size=32,
             prefill_granularity=32,
         ))
-        for _ in range(9):
-            s.add(make_seq(list(range(454)), block_size=32))
+        for i in range(9):
+            # distinct prompts (identical ones would prefix-hit each other
+            # and legitimately take the single-sequence compute-skip path)
+            s.add(make_seq(list(range(i * 1000, i * 1000 + 454)), block_size=32))
         batch, is_prefill = s.schedule()
         assert is_prefill and len(batch) == 8  # 8 x 480 = 3840; 9th busts it
         assert sum(-(-len(q) // 32) * 32 for q in batch) <= 4096
@@ -421,7 +428,7 @@ class TestRobustness:
         assert good[0].error is None and good[0].token_ids == [6, 7]
 
     def test_step_surfaces_rejects(self):
-        eng = self.engine()
+        eng = self.engine(num_kvcache_blocks=4)
         eng.add_request(list(range(100)), SamplingParams(max_tokens=2))
         step = eng.step()
         assert len(step.outputs) == 1

@@ -472,3 +472,141 @@ class TestDenseMatmulKernel:
         np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref), rtol=1e-6)
 
 
+
+
+class TestPrefixAttentionKernel:
+    """Chunk-vs-prefix attention (chunked / prefix-cached prefill) vs the
+    XLA twin, and the stats contract of the stream prefill kernels."""
+
+    def _case(self, seed=0, quant=False):
+        from nano_vllm_candle_tpu.ops.attention import prefix_attention
+
+        L, P, nkv, ps, hd = 2, 8, 2, 16, 64
+        T, g = 32, 2
+        nq = nkv * g
+        ks = jax.random.split(jax.random.key(seed), 2)
+        q = jax.random.normal(ks[0], (T, nq, hd), jnp.float32)
+        kvc = jax.random.normal(ks[1], (L, P, 2, nkv, ps, hd), jnp.float32)
+        bt = jnp.asarray([1, 3, 5, 5], jnp.int32)  # padded with last page
+        s = None
+        if quant:
+            kvc = jnp.clip(jnp.round(kvc * 20), -127, 127).astype(jnp.int8)
+            s = jax.random.uniform(
+                jax.random.key(9), (L, P, 2, nkv, ps), jnp.float32, 0.01, 0.1
+            )
+        return q, kvc, bt, s, prefix_attention
+
+    @pytest.mark.parametrize("plen", [0, 1, 17, 48])
+    def test_matches_xla_twin(self, plen):
+        from nano_vllm_candle_tpu.kernels.flash_prefill import (
+            pallas_prefix_attention,
+        )
+
+        q, kvc, bt, _, prefix_attention = self._case()
+        scale = q.shape[-1] ** -0.5
+        got_o, got_m, got_l = pallas_prefix_attention(
+            q, kvc, bt, jnp.int32(plen), scale,
+            layer_index=jnp.int32(1), block_q=32, interpret=True,
+        )
+        ref_o, ref_m, ref_l = prefix_attention(
+            q, kvc[1], bt, jnp.int32(plen), scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_o), np.asarray(ref_o), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l), rtol=2e-5, atol=2e-5)
+        if plen == 0:
+            np.testing.assert_array_equal(np.asarray(got_l), 0.0)
+
+    def test_int8_matches_xla_twin(self):
+        from nano_vllm_candle_tpu.kernels.flash_prefill import (
+            pallas_prefix_attention,
+        )
+
+        q, kvc, bt, s, prefix_attention = self._case(seed=3, quant=True)
+        scale = q.shape[-1] ** -0.5
+        got_o, got_m, got_l = pallas_prefix_attention(
+            q, kvc, bt, jnp.int32(30), scale, kv_scale=s,
+            layer_index=jnp.int32(0), block_q=32, interpret=True,
+        )
+        ref_o, ref_m, ref_l = prefix_attention(
+            q, kvc[0], bt, jnp.int32(30), scale, kv_scale=s[0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_o), np.asarray(ref_o), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l), rtol=2e-5, atol=2e-5)
+
+    def test_flash_prefill_stats_match_twin(self):
+        q, k, v, seg, pos = make_packed_case([40, 20], 64, nq=8, nkv=4, hd=64)
+        scale = q.shape[-1] ** -0.5
+        ref_o, ref_m, ref_l = packed_prefill_attention(
+            q, k, v, seg, pos, scale, return_stats=True
+        )
+        got_o, got_m, got_l = pallas_packed_prefill_attention(
+            q, k, v, seg, pos, scale, block_q=32, block_k=32,
+            interpret=True, return_stats=True,
+        )
+        real = np.asarray(seg) >= 0
+        np.testing.assert_allclose(
+            np.asarray(got_o)[real], np.asarray(ref_o)[real], rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_m)[real], np.asarray(ref_m)[real], rtol=2e-5,
+            atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_l)[real], np.asarray(ref_l)[real], rtol=2e-5,
+            atol=2e-5,
+        )
+
+    def test_merge_parts_equals_joint_attention(self):
+        """stream-part ⊕ prefix-part == attention over the concatenation —
+        the exact invariant chunked prefill relies on."""
+        from nano_vllm_candle_tpu.ops.attention import (
+            merge_attention_parts, prefix_attention,
+        )
+
+        nkv, g, hd, ps = 2, 2, 32, 8
+        nq = nkv * g
+        T, plen = 16, 11
+        ks = jax.random.split(jax.random.key(7), 6)
+        q = jax.random.normal(ks[0], (T, nq, hd), jnp.float32)
+        k_s = jax.random.normal(ks[1], (T, nkv, hd), jnp.float32)
+        v_s = jax.random.normal(ks[2], (T, nkv, hd), jnp.float32)
+        k_p = jax.random.normal(ks[3], (plen, nkv, hd), jnp.float32)
+        v_p = jax.random.normal(ks[4], (plen, nkv, hd), jnp.float32)
+        seg = jnp.zeros((T,), jnp.int32)
+        pos = jnp.arange(plen, plen + T, dtype=jnp.int32)
+        scale = hd ** -0.5
+
+        o_s, m_s, l_s = packed_prefill_attention(
+            q, k_s, v_s, seg, pos, scale, return_stats=True
+        )
+        # put the prefix into pages
+        P, W = 3, 2
+        kvc = np.zeros((P, 2, nkv, ps, hd), np.float32)
+        for t in range(plen):
+            kvc[1 + t // ps, 0, :, t % ps] = np.asarray(k_p[t])
+            kvc[1 + t // ps, 1, :, t % ps] = np.asarray(v_p[t])
+        o_p, m_p, l_p = prefix_attention(
+            q, jnp.asarray(kvc), jnp.asarray([1, 2], jnp.int32),
+            jnp.int32(plen), scale,
+        )
+        got = merge_attention_parts(o_s, m_s, l_s, o_p, m_p, l_p)
+
+        # joint reference: concatenated keys, causal over the stream part
+        k_all = jnp.concatenate([k_p, k_s], axis=0)
+        v_all = jnp.concatenate([v_p, v_s], axis=0)
+        seg_all = jnp.zeros((plen + T,), jnp.int32)
+        pos_all = jnp.arange(plen + T, dtype=jnp.int32)
+        q_pad = jnp.concatenate(
+            [jnp.zeros((plen, nq, hd), jnp.float32), q], axis=0
+        )
+        ref = packed_prefill_attention(
+            q_pad, k_all, v_all, seg_all, pos_all, scale
+        )[plen:]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )

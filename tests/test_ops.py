@@ -237,3 +237,48 @@ class TestSampling:
         p = jnp.ones((2,), jnp.float32)
         out = sample_tokens(jax.random.key(0), logits, t, k, p)
         assert int(out[0]) == 1  # greedy row
+
+
+class TestTopPBoundedCandidates:
+    def test_threshold_exact_within_candidates(self):
+        """Bounded top-p == full-sort top-p whenever the nucleus fits in the
+        candidate set (the practical case)."""
+        from nano_vllm_candle_tpu.ops.sampling import NEG_INF, _apply_top_p
+
+        rng = np.random.default_rng(0)
+        # Peaked logits (scale 5): the 0.9-nucleus spans a few dozen tokens,
+        # well within the 256-candidate bound — the realistic LM regime.
+        logits = jnp.asarray((rng.normal(size=(3, 5000)) * 5).astype(np.float32))
+        top_p = jnp.asarray([0.3, 0.9, 1.0], jnp.float32)
+        got = np.asarray(_apply_top_p(logits, top_p))
+
+        # full-sort reference
+        ln = np.asarray(logits)
+        ref = ln.copy()
+        for b, p in enumerate([0.3, 0.9, 1.0]):
+            if p >= 1.0:
+                continue
+            order = np.argsort(-ln[b])
+            probs = np.exp(ln[b] - ln[b].max())
+            probs /= probs.sum()
+            cum = np.cumsum(probs[order])
+            keep_sorted = (cum - probs[order]) < p
+            thresh = ln[b][order][keep_sorted].min()
+            ref[b][ln[b] < thresh] = float(NEG_INF)
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    def test_degrades_to_top_candidates_never_looser(self):
+        """A nucleus wider than the candidate bound keeps at most
+        TOP_P_CANDIDATES tokens (tighter, never looser)."""
+        from nano_vllm_candle_tpu.ops.sampling import (
+            NEG_INF, TOP_P_CANDIDATES, _apply_top_p,
+        )
+
+        V = 2048
+        # near-flat but strictly distinct logits: the 0.999-nucleus would
+        # span ~all of V under a full sort
+        logits = -jnp.arange(V, dtype=jnp.float32)[None, :] * 1e-3
+        got = np.asarray(_apply_top_p(logits, jnp.asarray([0.999], jnp.float32)))
+        kept = (got[0] > float(NEG_INF) / 2).sum()
+        assert kept <= TOP_P_CANDIDATES
+        assert kept >= 1

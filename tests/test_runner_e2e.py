@@ -189,3 +189,48 @@ class TestPreemptionWithRealRunner:
         for prompt, out in zip(prompts, outs):
             assert out.token_ids == reference_greedy(prompt, 14), prompt
         assert llm.engine.metrics["preemptions"] >= 1
+
+
+class TestChunkedPrefill:
+    def test_long_prompt_matches_single_shot(self, tiny_params, reference_greedy):
+        """A prompt 3x the token budget prefills in GROUP-aligned chunks
+        (each chunk's attention = in-stream part ⊕ paged-prefix part) and
+        must produce the exact single-shot greedy tokens."""
+        rng = np.random.default_rng(0)
+        prompt = list(map(int, rng.integers(3, 250, 150)))
+        llm = make_llm(
+            tiny_params,
+            max_num_batched_tokens=64,
+            num_kvcache_blocks=32,
+            kvcache_block_size=16,
+            max_model_len=256,
+        )
+        out = llm.generate(
+            [prompt], SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+        )[0]
+        assert out.error is None
+        assert out.token_ids == reference_greedy(prompt, 8, ignore_eos=True)
+        assert llm.engine.metrics["prefill_tokens"] == 150
+        assert llm.engine.metrics["steps"] >= 3  # at least 3 chunks
+
+    def test_prefix_cache_skips_compute(self, tiny_params, reference_greedy):
+        """A repeated prompt recomputes only its uncached tail (the compute
+        skip, not just KV-memory dedup) and still matches greedy."""
+        rng = np.random.default_rng(1)
+        prompt = list(map(int, rng.integers(3, 250, 100)))
+        llm = make_llm(
+            tiny_params,
+            max_num_batched_tokens=256,
+            num_kvcache_blocks=32,
+            kvcache_block_size=16,
+            max_model_len=256,
+        )
+        sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+        want = reference_greedy(prompt, 6, ignore_eos=True)
+        a = llm.generate([prompt], sp)[0]
+        before = llm.engine.metrics["prefill_tokens"]
+        b = llm.generate([prompt], sp)[0]
+        recomputed = llm.engine.metrics["prefill_tokens"] - before
+        assert a.token_ids == want and b.token_ids == want
+        assert recomputed <= 16  # only the uncached tail (96 cached)
+        assert llm.engine.metrics["prefix_cached_tokens"] >= 96
