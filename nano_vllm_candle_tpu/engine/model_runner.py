@@ -269,6 +269,17 @@ class JaxModelRunner:
         bm = self.block_manager
         B = self.max_num_seqs
         W = self.max_blocks_per_seq
+        if decode and seqs:
+            # Slice the block-table width to the widest ACTIVE table,
+            # bucketed to powers of two: the decode kernel's grid is
+            # (B, W), and every unused column costs a real grid step
+            # (~0.5 us of scalar work x B x 28 layers). Each bucket is one
+            # extra jit specialization.
+            need = max(len(s.block_table) for s in seqs)
+            W_b = 1
+            while W_b < need:
+                W_b *= 2
+            W = min(W_b, W)
         seq_f32 = np.zeros((B, 2), np.float32)
         seq_f32[:, 1] = 1.0  # top_p disabled for padding slots
         if decode:

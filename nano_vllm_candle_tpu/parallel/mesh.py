@@ -100,7 +100,13 @@ def qwen3_param_pspecs(config: Qwen3Config, params: Any) -> Any:
         for kind in (_LAYER_KINDS[name],)
     }
     specs = {
-        "embed_tokens": P(None, None),  # replicated (gather-friendly)
+        # Vocab-parallel embedding (the reference's VocabParallelEmbedding
+        # stub's declared intent, embed_head.rs:3-15): rows sharded on tp.
+        # GSPMD lowers the token gather to a masked local lookup + psum and
+        # the tied-logits matmul to a local matmul over the vocab shard —
+        # no full-table replication (a 151936 x H bf16 table is 311 MB at
+        # 0.6B and 1.5 GB at 32B per chip if replicated).
+        "embed_tokens": P("tp", None),
         "layers": layer_specs,
         "norm": P(None),
     }
@@ -144,6 +150,7 @@ def validate_tp(config: Qwen3Config, tp: int) -> None:
         ("num_key_value_heads", config.num_key_value_heads),
         ("num_attention_heads", config.num_attention_heads),
         ("intermediate_size", config.intermediate_size),
+        ("vocab_size", config.vocab_size),
     ]:
         if dim % tp != 0:
             raise ValueError(f"tp={tp} does not divide {name}={dim}")

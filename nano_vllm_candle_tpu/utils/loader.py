@@ -101,7 +101,9 @@ def _sharding_for(name: str, ndim: int, mesh):
         spec = _spec_for(_LAYER_KINDS[name], ndim)
     elif name == "lm_head":
         spec = P(None, "tp")
-    else:  # embed_tokens, norm
+    elif name == "embed_tokens":
+        spec = P("tp", None)  # vocab-parallel (see mesh.qwen3_param_pspecs)
+    else:  # norm
         spec = P(*([None] * ndim))
     return NamedSharding(mesh, spec)
 
