@@ -202,22 +202,43 @@ class LLMEngine:
 
     def run_until_done(self, collect=None) -> None:
         """Drive schedule→forward→postprocess until every request finishes,
-        with decode as a chained pipeline when the runner supports it: up to
-        ``pipeline_depth`` bursts are in flight, each continuing from the
-        previous burst's on-device tokens, so neither the dispatch nor the
-        device→host fetch round trip ever stalls the chip (one in-flight
-        burst hides dispatch latency; a second hides the result transfer —
-        both ~a full RTT over a tunneled chip). Callable from any engine
-        state; ``bench.py`` uses it after timing the prefill step
-        separately."""
+        with a device pipeline when the runner supports it:
+
+        - decode runs as a chained pipeline: up to ``pipeline_depth`` bursts
+          in flight, each continuing from the previous burst's on-device
+          tokens, so neither the dispatch nor the device→host fetch round
+          trip ever stalls the chip;
+        - **mixed prefill/decode batching**: when requests are waiting, a
+          prefill (or prefill chunk) is dispatched INTO the pipeline behind
+          the in-flight decode bursts instead of draining them — the chip
+          runs bursts and prefill back to back with no host round trip in
+          between, and the newly prefilled sequences join the next burst.
+          (Static-shape jits preclude literally mixing prefill tokens and
+          decode slots in one dispatch; overlapping the dispatches achieves
+          the same device utilization, the property BASELINE config 3 is
+          after.)
+
+        Callable from any engine state; ``bench.py`` uses it after timing
+        the prefill step separately."""
         from collections import deque
 
         pipelined = getattr(self.model_runner, "supports_chaining", False)
         depth = max(1, getattr(self.model_runner, "pipeline_depth", 2))
-        pending: deque = deque()  # (seqs, token_future), oldest first
+        pending: deque = deque()  # ("decode"|"prefill", seqs, fut, ...) FIFO
         oob = self.scheduler.drain_finished_out_of_band()  # add-time rejects
         if oob and collect is not None:
             collect(oob)
+
+        def prefill_meta(seqs):
+            chunk_tokens = sum(
+                s.prefill_target - s.num_computed_tokens for s in seqs
+            )
+            cached = sum(
+                s.num_cached_tokens for s in seqs
+                if s.num_computed_tokens == s.num_cached_tokens
+            )
+            return chunk_tokens, cached
+
         while not self.is_finished() or pending:
             oob = self.scheduler.drain_finished_out_of_band()
             if oob and collect is not None:
@@ -234,17 +255,10 @@ class LLMEngine:
                             "(insufficient KV blocks even when idle)",
                         )
                     continue
-                if is_prefill or not pipelined:
+                if not pipelined:
                     chunk_tokens = cached = 0
                     if is_prefill:
-                        chunk_tokens = sum(
-                            s.prefill_target - s.num_computed_tokens
-                            for s in seqs
-                        )
-                        cached = sum(
-                            s.num_cached_tokens for s in seqs
-                            if s.num_computed_tokens == s.num_cached_tokens
-                        )
+                        chunk_tokens, cached = prefill_meta(seqs)
                     try:
                         tokens = self.model_runner.run(seqs, is_prefill)
                         accepted = self.scheduler.post_process(seqs, tokens)
@@ -257,61 +271,119 @@ class LLMEngine:
                         collect(seqs)
                     continue
                 try:
-                    pending.append(
-                        (seqs, self.model_runner.dispatch_decode(seqs, chained=False))
-                    )
+                    if is_prefill:
+                        chunk_tokens, cached = prefill_meta(seqs)
+                        pending.append((
+                            "prefill", seqs,
+                            self.model_runner.dispatch_prefill(seqs),
+                            chunk_tokens, cached,
+                        ))
+                    else:
+                        pending.append((
+                            "decode", seqs,
+                            self.model_runner.dispatch_decode(
+                                seqs, chained=False),
+                        ))
                 except Exception as e:
                     self._degrade(seqs, e)
                     if collect is not None:
                         collect(seqs)
                     continue
 
-            # Top up the chain BEFORE fetching, so the device always has
-            # queued work while the host blocks on the oldest result.
-            seqs_p = pending[0][0]
+            # Keep the device fed BEFORE fetching, so it always has queued
+            # work while the host blocks on the oldest result.
             K = self.scheduler.decode_burst
             bm = self.scheduler.block_manager
-            while len(pending) < depth:
-                # Sequences that finished during an already-fetched burst
-                # still occupy rows (their chained tokens are discarded);
-                # only live ones need blocks or justify another burst.
-                active = [s for s in seqs_p if not s.is_finished]
-                ahead = len(pending) * K  # tokens already in flight
-                mml = self.scheduler.max_model_len
-                can_chain = (
-                    bool(active)
-                    and not self.scheduler.waiting
-                    and bm.can_extend_batch(active, ahead + K)
-                    and any(
-                        seq.max_tokens - seq.num_completion_tokens > ahead
-                        and (not mml or len(seq) + ahead < mml)
-                        for seq in active
-                    )
-                )
-                if not can_chain:
-                    break
-                for seq in active:
-                    bm.extend(seq, self.scheduler.extend_room(seq, ahead + K))
-                try:
-                    pending.append(
-                        (seqs_p, self.model_runner.dispatch_decode(
-                            seqs_p, chained=True, inflight=len(pending)))
-                    )
-                except Exception as e:
-                    self._degrade(seqs_p, e)
-                    break
 
-            seqs_p, fut = pending.popleft()
-            try:
-                tokens = self.model_runner.fetch_decode(fut)
-                accepted = self.scheduler.post_process(seqs_p, tokens)
-            except Exception as e:
-                self._degrade(seqs_p, e)
-                pending.clear()  # later bursts chain from the failed state
-                accepted = 0
-            self._account(False, seqs_p, accepted)
+            # 1) In-flight prefill: if requests are waiting and no prefill
+            #    is already queued, slot one in behind the current bursts.
+            if (
+                self.scheduler.waiting
+                and not any(e[0] == "prefill" for e in pending)
+                and len(pending) < depth + 1
+            ):
+                p_seqs = self.scheduler.try_schedule_prefill()
+                if p_seqs:
+                    chunk_tokens, cached = prefill_meta(p_seqs)
+                    try:
+                        pending.append((
+                            "prefill", p_seqs,
+                            self.model_runner.dispatch_prefill(p_seqs),
+                            chunk_tokens, cached,
+                        ))
+                    except Exception as e:
+                        self._degrade(p_seqs, e)
+
+            # 2) Top up the decode chain (only counting decode bursts).
+            decode_entries = [e for e in pending if e[0] == "decode"]
+            if decode_entries:
+                seqs_p = decode_entries[-1][1]
+                chain_set = set(id(s) for s in seqs_p)
+                while len(decode_entries) < depth:
+                    # Sequences that finished during an already-fetched burst
+                    # still occupy rows (their chained tokens are discarded);
+                    # only live ones need blocks or justify another burst.
+                    active = [s for s in seqs_p if not s.is_finished]
+                    ahead = len(decode_entries) * K  # tokens in flight
+                    mml = self.scheduler.max_model_len
+                    # Newly prefilled sequences aren't in the chain's slot
+                    # set: stop chaining so the next fresh burst includes
+                    # them (no starvation behind a long chain).
+                    newcomers = any(
+                        id(s) not in chain_set for s in self.scheduler.running
+                    )
+                    can_chain = (
+                        bool(active)
+                        and not newcomers
+                        and bm.can_extend_batch(active, ahead + K)
+                        and any(
+                            seq.max_tokens - seq.num_completion_tokens > ahead
+                            and (not mml or len(seq) + ahead < mml)
+                            for seq in active
+                        )
+                    )
+                    if not can_chain:
+                        break
+                    for seq in active:
+                        bm.extend(
+                            seq, self.scheduler.extend_room(seq, ahead + K)
+                        )
+                    try:
+                        entry = (
+                            "decode", seqs_p,
+                            self.model_runner.dispatch_decode(
+                                seqs_p, chained=True,
+                                inflight=len(decode_entries)),
+                        )
+                    except Exception as e:
+                        self._degrade(seqs_p, e)
+                        break
+                    pending.append(entry)
+                    decode_entries.append(entry)
+
+            entry = pending.popleft()
+            if entry[0] == "prefill":
+                _, seqs_f, fut, chunk_tokens, cached = entry
+                try:
+                    tokens = self.model_runner.fetch_prefill(fut)
+                    accepted = self.scheduler.post_process(seqs_f, tokens)
+                except Exception as e:
+                    self._degrade(seqs_f, e)
+                    accepted = 0
+                self._account(True, seqs_f, accepted, chunk_tokens, cached)
+            else:
+                _, seqs_f, fut = entry
+                try:
+                    tokens = self.model_runner.fetch_decode(fut)
+                    accepted = self.scheduler.post_process(seqs_f, tokens)
+                except Exception as e:
+                    self._degrade(seqs_f, e)
+                    # later bursts chain from the failed state
+                    pending = deque(e for e in pending if e[0] != "decode")
+                    accepted = 0
+                self._account(False, seqs_f, accepted)
             if collect is not None:
-                collect(seqs_p)
+                collect(seqs_f)
 
     def _account(self, is_prefill: bool, seqs, accepted: int,
                  chunk_tokens: int = 0, cached: int = 0) -> None:

@@ -380,7 +380,13 @@ class JaxModelRunner:
             raise ValueError(f"{len(seqs)} scheduled seqs > max_num_seqs={B}")
         if not is_prefill:
             return self.fetch_decode(self.dispatch_decode(seqs, chained=False))
+        return self.fetch_prefill(self.dispatch_prefill(seqs))
 
+    def dispatch_prefill(self, seqs: List[Sequence]):
+        """Dispatch one prefill step without waiting for results, so the
+        engine can keep decode bursts in flight behind it (mixed
+        prefill/decode batching, device-level: the chip runs the prefill
+        and the queued bursts back to back with no host round trip)."""
         step = self._put(np.int32(self._step_counter))
         self._step_counter += 1
         seq_i32, seq_f32, use_top_k, use_top_p = self._seq_arrays(seqs, decode=False)
@@ -407,8 +413,16 @@ class JaxModelRunner:
             self._put(seq_f32, self._dp_spec() if self.mesh else None),
             step, chunk, use_top_k=use_top_k, use_top_p=use_top_p,
         )
+        try:
+            tokens.copy_to_host_async()
+        except Exception:
+            pass
+        return (tokens, len(seqs))
+
+    def fetch_prefill(self, fut) -> List[List[int]]:
+        tokens, n = fut
         host_tokens = np.asarray(jax.device_get(tokens))  # [B]
-        return [[int(t)] for t in host_tokens[: len(seqs)]]
+        return [[int(t)] for t in host_tokens[:n]]
 
     # -- pipelined decode (dispatch bursts t+1.. before fetching t) -----------
 

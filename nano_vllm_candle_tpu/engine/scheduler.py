@@ -183,6 +183,11 @@ class Scheduler:
             return prefill, True
         return self._schedule_decode(), False
 
+    def try_schedule_prefill(self) -> List[Sequence]:
+        """Prefill-only admission (the engine's in-flight-prefill path slots
+        a prefill behind in-flight decode bursts)."""
+        return self._try_schedule_prefill()
+
     def _try_schedule_prefill(self) -> List[Sequence]:
         """Admission from ``waiting`` bounded by seq cap, token budget and
         block availability (scheduler.rs:113-157), widened with chunked

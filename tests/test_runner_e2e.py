@@ -234,3 +234,38 @@ class TestChunkedPrefill:
         assert a.token_ids == want and b.token_ids == want
         assert recomputed <= 16  # only the uncached tail (96 cached)
         assert llm.engine.metrics["prefix_cached_tokens"] >= 96
+
+
+class TestMixedPrefillDecode:
+    def test_staggered_arrival_matches_isolated(self, tiny_params, reference_greedy):
+        """A request arriving mid-decode is prefilled IN FLIGHT behind the
+        decode pipeline (mixed prefill/decode batching) and every sequence
+        still matches its isolated greedy output."""
+        kw = dict(
+            max_num_seqs=4,
+            max_num_batched_tokens=128,
+            num_kvcache_blocks=32,
+            kvcache_block_size=16,
+            max_model_len=128,
+            decode_burst=2,
+            pipeline_depth=3,
+        )
+        prompts = [[5, 6, 7], [11, 12], [30] * 20]
+        sp = SamplingParams(temperature=0.0, max_tokens=20, ignore_eos=True)
+        refs = [reference_greedy(p, 20, ignore_eos=True) for p in prompts]
+
+        llm = make_llm(tiny_params, **kw)
+        collected = {}
+
+        def collect(seqs):
+            for s in seqs:
+                if s.is_finished:
+                    collected[s.seq_id] = list(s.completion_token_ids)
+
+        ids = [llm.add_request(prompts[0], sp), llm.add_request(prompts[1], sp)]
+        out = llm.step()
+        assert out.is_prefill
+        ids.append(llm.add_request(prompts[2], sp))  # arrives mid-flight
+        llm.engine.run_until_done(collect)
+        got = [collected[i] for i in ids]
+        assert got == refs
