@@ -151,6 +151,7 @@ class JaxModelRunner:
         hidden, kv_cache = qwen3.forward(
             params, kv_cache, batch,
             config=self.config, mode="prefill", attn_impl=self.attn_impl,
+            mesh=self.mesh,
         )
         logits = qwen3.compute_logits(params, hidden)
         rng = jax.random.fold_in(jax.random.key(seed), step)
@@ -233,6 +234,7 @@ class JaxModelRunner:
             hidden, kv_cache = qwen3.forward(
                 params, kv_cache, batch,
                 config=self.config, mode="decode", attn_impl=self.attn_impl,
+                mesh=self.mesh,
             )
             logits = qwen3.compute_logits(params, hidden)
             rng = jax.random.fold_in(burst_rng, i)

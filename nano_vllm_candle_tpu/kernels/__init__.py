@@ -9,3 +9,12 @@
 Each kernel has an XLA reference twin it is numerically validated against in
 ``tests/``; the model runner selects kernels per backend.
 """
+
+
+def interpret_default() -> bool:
+    """Whether Pallas calls should run in interpret mode: True off-TPU (CPU
+    test meshes, ``dryrun_multichip``), False on real hardware. Evaluated at
+    trace time so the same model code serves both."""
+    import jax
+
+    return jax.default_backend() == "cpu"

@@ -140,6 +140,7 @@ def matmul(
     impl: str = "xla",
     layer_index: Optional[jax.Array] = None,
     transposed: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     """``x[T, in] @ w`` for plain or quantized weights.
 
@@ -172,7 +173,7 @@ def matmul(
 
             if impl == "pallas" and quant_matmul.dense_supported(w, x.shape[0]):
                 return quant_matmul.pallas_dense_matmul(
-                    x, w, layer_index, transposed=transposed
+                    x, w, layer_index, transposed=transposed, interpret=interpret
                 )
             w = jax.lax.dynamic_index_in_dim(w, layer_index, 0, keepdims=False)
         if transposed:
@@ -185,7 +186,9 @@ def matmul(
         from nano_vllm_candle_tpu.kernels import quant_matmul
 
         if quant_matmul.supported(w, x.shape[0]):
-            return quant_matmul.pallas_quant_matmul(x, w, layer_index)
+            return quant_matmul.pallas_quant_matmul(
+                x, w, layer_index, interpret=interpret
+            )
     q, s = _int_values(w), w["s"]  # [(L,) G, gs, out], [(L,) G, 1, out]
     if q.ndim == 4:  # stacked: slice this layer (XLA fuses it into the dot)
         assert layer_index is not None, "stacked quantized weights need layer_index"

@@ -269,7 +269,8 @@ def _write_kv(
 # --------------------------------------------------------------------------
 
 
-def _commit_prefill_groups(kv, kvs, k, v, slot_mapping, seg_ids, li, ps):
+def _commit_prefill_groups(kv, kvs, k, v, slot_mapping, seg_ids, li, ps,
+                           interpret=False):
     """Commit every GROUP window of the packed prefill stream to its page.
 
     The runner pads each sequence to a GROUP multiple, so windows never
@@ -294,7 +295,9 @@ def _commit_prefill_groups(kv, kvs, k, v, slot_mapping, seg_ids, li, ps):
 
     from nano_vllm_candle_tpu.kernels.kv_commit import pallas_commit_groups
 
-    return pallas_commit_groups(kv, upd, li, pages, offs, kvs, scales)
+    return pallas_commit_groups(
+        kv, upd, li, pages, offs, kvs, scales, interpret=interpret
+    )
 
 
 # Perf-forensics switch (dev tooling, used by profile_decode.py --ablate):
@@ -317,12 +320,20 @@ def _decoder_layer(
     config: Qwen3Config,
     mode: str,
     attn_impl: str,
+    mesh=None,
 ):
     """One decoder layer with the reference's residual-threading contract
     (``qwen3.rs:374-399``)."""
+    from nano_vllm_candle_tpu.kernels import interpret_default
+
     c = config
     T = hidden.shape[0]
     scale = c.head_dim**-0.5
+    interp = interpret_default()
+    # Under a mesh, pallas calls run as shard_map islands (parallel/spmd.py:
+    # GSPMD cannot partition a pallas_call) with specs mirroring the GSPMD
+    # sharding plan of parallel/mesh.py.
+    islands = mesh is not None and attn_impl == "pallas"
 
     def proj(name: str):
         return lp[name] if name in lp else qlp[name]
@@ -343,7 +354,15 @@ def _decoder_layer(
         # transposed ([out, in]) storage only applies to plain weights
         w = proj(name)
         t = name in TRANSPOSED_PROJS and not isinstance(w, dict)
-        return matmul(xin, w, mm, li, transposed=t)
+        if islands:
+            from nano_vllm_candle_tpu.parallel.mesh import _LAYER_KINDS
+            from nano_vllm_candle_tpu.parallel.spmd import sharded_matmul
+
+            return sharded_matmul(
+                xin, w, mesh, _LAYER_KINDS[name], li, transposed=t,
+                batch_sharded=(mode == "decode"), interpret=interp,
+            )
+        return matmul(xin, w, mm, li, transposed=t, interpret=interp)
 
     def has(name: str) -> bool:
         return name in lp or name in qlp
@@ -372,10 +391,21 @@ def _decoder_layer(
 
     if mode == "prefill":
         chunked = batch.prefix_len is not None
-        if attn_impl == "pallas":
+        if islands:
+            from nano_vllm_candle_tpu.parallel.spmd import (
+                sharded_prefill_attention,
+            )
+
+            attn_out, kv, kvs = sharded_prefill_attention(
+                mesh, q, k, v, kv, kvs, batch.seg_ids, batch.positions,
+                batch.slot_mapping, scale, li, ps,
+                batch.block_table, batch.prefix_len, interpret=interp,
+            )
+        elif attn_impl == "pallas":
             if "commit" not in ABLATE:
                 kv, kvs = _commit_prefill_groups(
-                    kv, kvs, k, v, batch.slot_mapping, batch.seg_ids, li, ps
+                    kv, kvs, k, v, batch.slot_mapping, batch.seg_ids, li, ps,
+                    interpret=interp,
                 )
             from nano_vllm_candle_tpu.kernels.flash_prefill import (
                 pallas_packed_prefill_attention,
@@ -385,16 +415,17 @@ def _decoder_layer(
             if chunked:
                 o_s, m_s, l_s = pallas_packed_prefill_attention(
                     q, k, v, batch.seg_ids, batch.positions, scale,
-                    return_stats=True,
+                    return_stats=True, interpret=interp,
                 )
                 o_p, m_p, l_p = pallas_prefix_attention(
                     q, kv, batch.block_table, batch.prefix_len, scale,
-                    kv_scale=kvs, layer_index=li,
+                    kv_scale=kvs, layer_index=li, interpret=interp,
                 )
                 attn_out = merge_attention_parts(o_s, m_s, l_s, o_p, m_p, l_p)
             else:
                 attn_out = pallas_packed_prefill_attention(
-                    q, k, v, batch.seg_ids, batch.positions, scale
+                    q, k, v, batch.seg_ids, batch.positions, scale,
+                    interpret=interp,
                 )
         else:
             kv, kvs = _write_kv(kv, kvs, k, v, batch.slot_mapping, li)
@@ -417,6 +448,14 @@ def _decoder_layer(
                 attn_out = packed_prefill_attention(
                     q, k, v, batch.seg_ids, batch.positions, scale
                 )
+    elif islands:
+        from nano_vllm_candle_tpu.parallel.spmd import sharded_decode_attention
+
+        attn_out, kv, kvs = sharded_decode_attention(
+            mesh, q, kv, kvs, batch.block_tables, batch.seq_lens, scale,
+            k, v, li, batch.slot_mapping, interpret=interp,
+        )
+        attn_out = attn_out.astype(hidden.dtype)
     elif attn_impl == "pallas":
         # Attention over pages [0, n-1) with the current token's k/v folded
         # in-kernel from registers; the page commit happens AFTER attention
@@ -429,11 +468,12 @@ def _decoder_layer(
 
         attn_out = pallas_paged_decode_attention(
             q, kv, batch.block_tables, n, scale, k, v,
-            kv_scale=kvs, layer_index=li,
+            kv_scale=kvs, layer_index=li, interpret=interp,
         ).astype(hidden.dtype)
         if "commit" not in ABLATE:
             kv, kvs = pallas_row_commit(
-                kv, k, v, li, batch.slot_mapping, kv_scale=kvs
+                kv, k, v, li, batch.slot_mapping, kv_scale=kvs,
+                interpret=interp,
             )
     else:
         # XLA twin (CPU tests / numerics reference): commit the current row
@@ -477,6 +517,7 @@ def forward(
     config: Qwen3Config,
     mode: str,  # "prefill" | "decode"
     attn_impl: str = "xla",  # "xla" | "pallas"
+    mesh=None,  # sharded pallas: kernels run as shard_map islands (spmd.py)
 ) -> Tuple[jax.Array, KVCache]:
     """Run the decoder over a token batch; returns (last_hidden, new_cache).
 
@@ -519,7 +560,7 @@ def forward(
         lp, li = xs
         h, r, kv, kvs = _decoder_layer(
             h, r, lp, quant_layers, li, kv, kvs,
-            batch, c, mode, attn_impl,
+            batch, c, mode, attn_impl, mesh,
         )
         return (h, r, kv, kvs), None
 

@@ -1,0 +1,250 @@
+"""shard_map islands: the Pallas production path under (dp, tp) meshes.
+
+GSPMD partitions XLA ops automatically, but a ``pallas_call`` is opaque to
+it — under a sharded mesh the compiler would replicate the kernel's operands
+(or fail on the aliased cache updates). Every Pallas call site therefore
+runs inside a ``jax.shard_map`` island whose specs mirror the GSPMD
+sharding plan (``parallel/mesh.py``): KV heads / projection out-dims shard
+on ``tp``, decode request slots on ``dp``, and each device runs the
+unchanged single-device kernel on its local shard. The one collective the
+reference *omitted* (``/root/reference/src/layers/linear.rs:184-198`` —
+RowParallelLinear without its all-reduce) is explicit here: row-parallel
+matmul islands ``psum`` their partial sums over ``tp`` in f32.
+
+Correctness notes:
+
+- GQA co-location: q heads are ordered grouped by kv head, so sharding both
+  ``nq`` and ``nkv`` on tp keeps every q head on the chip that owns its kv
+  head — attention islands need zero collectives.
+- The KV cache is **replicated over dp** (sharded only on tp). Decode
+  commits therefore all_gather the (tiny) per-slot update rows over dp so
+  every dp row performs the identical commit and the replicas stay
+  bit-identical. Prefill runs its full token stream on every dp row for the
+  same reason (prefill inputs are globally replicated; the redundant work
+  rides behind the decode pipeline).
+- Specs must hold for the *local* view; the kernels recompute tiling from
+  local shapes, so everything divides as long as ``validate_tp`` passed
+  (heads % tp == 0) and ``max_num_seqs % dp == 0`` (checked by the runner).
+
+On CPU meshes (tests, ``__graft_entry__.dryrun_multichip``) the kernels run
+in interpret mode (``kernels.interpret_default``), so the sharded pallas
+path is testable without multi-chip hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+KV_SPEC = P(None, None, None, "tp", None, None)
+KVS_SPEC = P(None, None, None, "tp", None)
+
+
+def _smap(body, mesh, in_specs, out_specs):
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+
+
+# --------------------------------------------------------------------------
+# Matmul islands (col/row parallel, plain or quantized, pallas or XLA local)
+# --------------------------------------------------------------------------
+
+
+def sharded_matmul(
+    x: jax.Array,  # [T, d_in] (decode: T = max_num_seqs, dp-sharded rows)
+    w,  # plain [L, in, out] / [L, out, in], or quantized {"q"|"q4","s"}
+    mesh: Mesh,
+    kind: str,  # mesh._LAYER_KINDS value: col | col_t | row | row_t
+    layer_index: jax.Array,
+    *,
+    transposed: bool = False,
+    batch_sharded: bool = False,  # decode: slots dp-sharded; prefill: replicated
+    interpret: bool = False,
+) -> jax.Array:
+    """``x @ w[layer_index]`` as a shard_map island.
+
+    Column-parallel kinds shard the output dim on tp (x replicated over tp,
+    no collective); row-parallel kinds shard the contraction dim (x arrives
+    tp-sharded from the preceding column-parallel island) and psum the
+    partials in f32 — the all-reduce ``linear.rs:184-198`` forgot.
+    """
+    from nano_vllm_candle_tpu.layers.linear import is_quantized, matmul
+
+    bs = "dp" if batch_sharded else None
+    row = kind.startswith("row")
+    quant = is_quantized(w)
+    if quant:
+        if row:  # shard the group (contraction) axis
+            w_spec = jax.tree.map(lambda _: P(None, "tp", None, None), w)
+        else:  # shard the out axis
+            w_spec = jax.tree.map(lambda _: P(None, None, None, "tp"), w)
+    else:
+        if row:  # contraction: axis 2 when stored [L, out, in], else axis 1
+            w_spec = P(None, None, "tp") if transposed else P(None, "tp", None)
+        else:  # out: axis 1 when stored [L, out, in], else axis 2
+            w_spec = P(None, "tp", None) if transposed else P(None, None, "tp")
+    x_spec = P(bs, "tp") if row else P(bs, None)
+    out_spec = P(bs, None) if row else P(bs, "tp")
+    tp = mesh.shape["tp"]
+
+    def body(x, w, li):
+        out = matmul(
+            x, w, impl="pallas", layer_index=li, transposed=transposed,
+            interpret=interpret,
+        )
+        if row and tp > 1:
+            out = jax.lax.psum(out.astype(jnp.float32), "tp").astype(x.dtype)
+        return out
+
+    return _smap(body, mesh, (x_spec, w_spec, P()), out_spec)(
+        x, w, layer_index
+    )
+
+
+# --------------------------------------------------------------------------
+# Decode island: paged attention + row commit in one region
+# --------------------------------------------------------------------------
+
+
+def sharded_decode_attention(
+    mesh: Mesh,
+    q: jax.Array,  # [B, nq, hd]
+    kv: jax.Array,  # [L, P, 2, nkv, ps, hd]
+    kvs: Optional[jax.Array],  # [L, P, 2, nkv, ps] f32 or None
+    block_tables: jax.Array,  # [B, W]
+    seq_lens: jax.Array,  # [B]
+    scale: float,
+    k: jax.Array,  # [B, nkv, hd] current-token rows
+    v: jax.Array,
+    li: jax.Array,
+    slot_mapping: jax.Array,  # [B]
+    *,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """Attention (current token folded in-kernel) then the page commit, one
+    island so the aliased cache never crosses a partitioning boundary
+    between them. Returns ``(attn_out [B, nq, hd], kv, kvs)``."""
+    from nano_vllm_candle_tpu.kernels.kv_commit import pallas_row_commit
+    from nano_vllm_candle_tpu.kernels.paged_decode import (
+        pallas_paged_decode_attention,
+    )
+
+    dp = mesh.shape["dp"]
+    quant = kvs is not None
+
+    def body(q, kv, kvs, bt, n, k, v, li, slot):
+        out = pallas_paged_decode_attention(
+            q, kv, bt, n, scale, k, v,
+            kv_scale=kvs, layer_index=li, interpret=interpret,
+        )
+        if dp > 1:
+            # The cache is dp-replicated: every dp row must commit ALL
+            # slots' rows (a few KB) to keep the replicas identical.
+            k = jax.lax.all_gather(k, "dp", axis=0, tiled=True)
+            v = jax.lax.all_gather(v, "dp", axis=0, tiled=True)
+            slot = jax.lax.all_gather(slot, "dp", axis=0, tiled=True)
+        kv, kvs = pallas_row_commit(
+            kv, k, v, li, slot, kv_scale=kvs, interpret=interpret
+        )
+        return out, kv, kvs
+
+    in_specs = (
+        P("dp", "tp", None),  # q
+        KV_SPEC,
+        KVS_SPEC if quant else P(),
+        P("dp", None),  # block_tables
+        P("dp"),  # seq_lens
+        P("dp", "tp", None),  # k
+        P("dp", "tp", None),  # v
+        P(),  # layer index
+        P("dp"),  # slot_mapping
+    )
+    out_specs = (P("dp", "tp", None), KV_SPEC, KVS_SPEC if quant else P())
+    return _smap(body, mesh, in_specs, out_specs)(
+        q, kv, kvs, block_tables, seq_lens, k, v, li, slot_mapping
+    )
+
+
+# --------------------------------------------------------------------------
+# Prefill island: group commit + packed flash (+ paged-prefix merge)
+# --------------------------------------------------------------------------
+
+
+def sharded_prefill_attention(
+    mesh: Mesh,
+    q: jax.Array,  # [T, nq, hd]
+    k: jax.Array,  # [T, nkv, hd]
+    v: jax.Array,
+    kv: jax.Array,
+    kvs: Optional[jax.Array],
+    seg_ids: jax.Array,  # [T]
+    positions: jax.Array,  # [T]
+    slot_mapping: jax.Array,  # [T]
+    scale: float,
+    li: jax.Array,
+    ps: int,
+    block_table: Optional[jax.Array],  # [W] (chunked / prefix-cached mode)
+    prefix_len: Optional[jax.Array],  # scalar
+    *,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """Prefill: commit GROUP windows, then packed-segment flash attention
+    (flash-merged with the paged-prefix part in chunked mode). The token
+    stream is globally replicated; every dp row runs it identically (the
+    commit must happen on every dp replica of the cache anyway). Returns
+    ``(attn_out [T, nq, hd], kv, kvs)``."""
+    quant = kvs is not None
+    chunked = block_table is not None
+
+    def body(q, k, v, kv, kvs, seg, pos, slot, li, bt, plen):
+        from nano_vllm_candle_tpu.kernels.flash_prefill import (
+            pallas_packed_prefill_attention,
+            pallas_prefix_attention,
+        )
+        from nano_vllm_candle_tpu.models.qwen3 import _commit_prefill_groups
+        from nano_vllm_candle_tpu.ops.attention import merge_attention_parts
+
+        kv, kvs = _commit_prefill_groups(
+            kv, kvs, k, v, slot, seg, li, ps, interpret=interpret
+        )
+        if chunked:
+            o_s, m_s, l_s = pallas_packed_prefill_attention(
+                q, k, v, seg, pos, scale,
+                return_stats=True, interpret=interpret,
+            )
+            o_p, m_p, l_p = pallas_prefix_attention(
+                q, kv, bt, plen, scale,
+                kv_scale=kvs, layer_index=li, interpret=interpret,
+            )
+            out = merge_attention_parts(o_s, m_s, l_s, o_p, m_p, l_p)
+        else:
+            out = pallas_packed_prefill_attention(
+                q, k, v, seg, pos, scale, interpret=interpret
+            )
+        return out, kv, kvs
+
+    head_spec = P(None, "tp", None)
+    in_specs = (
+        head_spec,  # q
+        head_spec,  # k
+        head_spec,  # v
+        KV_SPEC,
+        KVS_SPEC if quant else P(),
+        P(None),  # seg_ids
+        P(None),  # positions
+        P(None),  # slot_mapping
+        P(),  # layer index
+        P(None) if chunked else P(),  # block_table
+        P(),  # prefix_len
+    )
+    out_specs = (head_spec, KV_SPEC, KVS_SPEC if quant else P())
+    return _smap(body, mesh, in_specs, out_specs)(
+        q, k, v, kv, kvs, seg_ids, positions, slot_mapping, li,
+        block_table, prefix_len,
+    )

@@ -47,7 +47,8 @@ def tiny_params():
     return qwen3.init_params(CFG, jax.random.key(11), dtype=jnp.float32)
 
 
-def run_generate(tiny_params, mesh, max_num_seqs=4):
+def run_generate(tiny_params, mesh, max_num_seqs=4, attn_impl=None,
+                 quantization=None, kv_cache_dtype="float32"):
     llm = LLM(
         config=CFG,
         params=tiny_params,
@@ -58,14 +59,19 @@ def run_generate(tiny_params, mesh, max_num_seqs=4):
             kvcache_block_size=8,
             max_model_len=128,
             dtype="float32",
-            kv_cache_dtype="float32",
+            kv_cache_dtype=kv_cache_dtype,
+            quantization=quantization,
+            quant_group_size=16,  # tiny dims: keep G divisible by tp
             prefill_buckets=(64, 128),
             use_pallas_kernels=False,
+            attn_impl=attn_impl,
         ),
         mesh=mesh,
     )
     prompts = [[3, 1, 4, 1, 5], [2, 7], [10, 20, 30], [9, 9]]
-    return [o.token_ids for o in llm.generate(prompts, GREEDY)]
+    outs = [o.token_ids for o in llm.generate(prompts, GREEDY)]
+    assert llm.engine.metrics.get("runner_errors", 0) == 0
+    return outs
 
 
 def test_mesh_shapes():
@@ -98,6 +104,33 @@ def test_sharded_generation_matches_single_device(tiny_params, tp, dp):
     baseline = run_generate(tiny_params, mesh=None)
     sharded = run_generate(tiny_params, mesh=make_mesh(tp=tp, dp=dp))
     assert sharded == baseline, f"tp={tp} dp={dp} diverged from single-device"
+
+
+@pytest.mark.parametrize("tp,dp", [(2, 1), (2, 4), (8, 1), (1, 2)])
+def test_sharded_pallas_matches_single_device(tiny_params, tp, dp):
+    """The PRODUCTION path under a mesh: every Pallas kernel wrapped in a
+    shard_map island (parallel/spmd.py) in interpret mode, vs the unsharded
+    XLA reference. Covers VERDICT r1 gap #4 — pallas had never been traced
+    under a sharded mesh."""
+    baseline = run_generate(tiny_params, mesh=None)
+    sharded = run_generate(
+        tiny_params, mesh=make_mesh(tp=tp, dp=dp), attn_impl="pallas"
+    )
+    assert sharded == baseline, f"tp={tp} dp={dp} pallas diverged"
+
+
+@pytest.mark.parametrize("quant,kvd", [("int8", "int8"), ("int4", "int8")])
+def test_sharded_pallas_quantized_matches(tiny_params, quant, kvd):
+    """Quantized weights (row-parallel G-axis sharding + psum) and int8 KV
+    (tp-sharded scale planes) through the shard_map islands."""
+    baseline = run_generate(
+        tiny_params, mesh=None, quantization=quant, kv_cache_dtype=kvd
+    )
+    sharded = run_generate(
+        tiny_params, mesh=make_mesh(tp=2, dp=2), attn_impl="pallas",
+        quantization=quant, kv_cache_dtype=kvd,
+    )
+    assert sharded == baseline, f"{quant}+kv_{kvd} pallas diverged under mesh"
 
 
 class TestDistributed:
