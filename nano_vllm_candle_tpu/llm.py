@@ -58,19 +58,46 @@ class LLM:
             raise ValueError("need model_dir or config")
         if params is None:
             logger.info("no weights given: random-initializing %s", config)
-            params = qwen3.init_params(
-                config, jax.random.key(engine_config.seed),
-                dtype=jnp.dtype(engine_config.dtype),
-            )
+            if engine_config.quantization is not None:
+                # Init + quantize on HOST: an 8B bf16 random-init (~16.4 GB)
+                # would not fit one v5e chip's HBM before quantization — only
+                # the quantized pytree ships to the device (the random-init
+                # twin of the offline-artifact path, utils/loader
+                # save_quantized_checkpoint / SURVEY.md §5.4).
+                with jax.default_device(jax.devices("cpu")[0]):
+                    params = qwen3.init_params(
+                        config, jax.random.key(engine_config.seed),
+                        dtype=jnp.dtype(engine_config.dtype),
+                    )
+            else:
+                params = qwen3.init_params(
+                    config, jax.random.key(engine_config.seed),
+                    dtype=jnp.dtype(engine_config.dtype),
+                )
         if engine_config.quantization is not None:
             from nano_vllm_candle_tpu.layers.linear import quantize_qwen3_params
 
             logger.info("quantizing weights to %s", engine_config.quantization)
-            params = quantize_qwen3_params(
-                params,
-                bits=engine_config.quantization,
-                group_size=engine_config.quant_group_size,
+            on_host = any(
+                d.platform == "cpu"
+                for x in jax.tree.leaves(params) for d in x.devices()
             )
+            if on_host:
+                with jax.default_device(jax.devices("cpu")[0]):
+                    params = quantize_qwen3_params(
+                        params,
+                        bits=engine_config.quantization,
+                        group_size=engine_config.quant_group_size,
+                    )
+                dev = jax.devices()[0]
+                if mesh is None and dev.platform != "cpu":
+                    params = jax.device_put(params, dev)
+            else:
+                params = quantize_qwen3_params(
+                    params,
+                    bits=engine_config.quantization,
+                    group_size=engine_config.quant_group_size,
+                )
 
         self.config = config
         self.engine_config = engine_config
