@@ -272,12 +272,26 @@ class JaxModelRunner:
         B = self.max_num_seqs
         W = self.max_blocks_per_seq
         if decode and seqs:
-            # Slice the block-table width to the widest ACTIVE table,
-            # bucketed to powers of two: the decode kernel's grid is
-            # (B, W), and every unused column costs a real grid step
-            # (~0.5 us of scalar work x B x 28 layers). Each bucket is one
-            # extra jit specialization.
-            need = max(len(s.block_table) for s in seqs)
+            # Slice the block-table width to the pages this burst actually
+            # TOUCHES, bucketed to powers of two: the decode kernel's grid
+            # is (B, W), and every unused column costs a real grid step
+            # (~0.5 us of scalar work x B x 28 layers). A sequence's table
+            # may hold more blocks than the burst reaches (pre-allocation
+            # for burst overshoot); the last position this burst writes is
+            # L + K - 2, bounding both its reads and its slot pages. Each
+            # bucket is one extra jit specialization.
+            K = self.decode_burst
+            bs = self.block_size
+            need = 1
+            for s in seqs:
+                if len(s.block_table) > W:
+                    raise ValueError(
+                        f"sequence needs {len(s.block_table)} blocks > "
+                        f"max_blocks_per_seq={W}; raise max_model_len"
+                    )
+                L = len(s) + pos_offset
+                touched = (L + K - 2) // bs + 1
+                need = max(need, min(len(s.block_table), touched))
             W_b = 1
             while W_b < need:
                 W_b *= 2
@@ -288,22 +302,17 @@ class JaxModelRunner:
             seq_i32 = np.zeros((B, 5 + W), np.int32)
             for i, seq in enumerate(seqs):
                 L = len(seq) + pos_offset
-                nb = len(seq.block_table)
-                if nb > W:
-                    raise ValueError(
-                        f"sequence needs {nb} blocks > max_blocks_per_seq={W}; "
-                        "raise max_model_len"
-                    )
+                nb = min(len(seq.block_table), W)  # untouched tail sliced off
                 seq_i32[i, 0] = seq.last_token
                 seq_i32[i, 1] = L - 1
                 seq_i32[i, 3] = L
                 seq_i32[i, 4] = seq.top_k
-                seq_i32[i, 5 : 5 + nb] = seq.block_table
-                # Pad the row by repeating the last valid page: the decode
+                seq_i32[i, 5 : 5 + nb] = seq.block_table[:nb]
+                # Pad the row by repeating the last touched page: the decode
                 # kernel's index maps are bare table lookups (no clamping),
                 # and a repeated index makes Pallas skip the redundant DMA.
                 if nb:
-                    seq_i32[i, 5 + nb :] = seq.block_table[-1]
+                    seq_i32[i, 5 + nb :] = seq.block_table[nb - 1]
                 seq_f32[i, 0] = seq.temperature
                 seq_f32[i, 1] = seq.top_p
         else:
