@@ -26,7 +26,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", "--prompt", required=True, help="prompt text")
     p.add_argument("-T", "--temperature", type=float, default=0.6)
     p.add_argument("-m", "--max-tokens", type=int, default=256)
-    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-k", type=int, default=0,
+                   help="top-k sampling (0 disables). Compiled on-device "
+                        "bound: --max-top-k")
+    p.add_argument("--max-top-k", type=int, default=64,
+                   help="static compile-time bound for top-k "
+                        "(EngineConfig.max_top_k); requests with "
+                        "top_k > max_top_k are rejected")
     p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--ignore-eos", action="store_true")
     p.add_argument("--no-chat-template", action="store_true")
@@ -88,6 +94,7 @@ def main(argv=None) -> int:
         tp_size=args.tp,
         quantization=args.quantization,
         kv_cache_dtype=args.kv_cache_dtype or "bfloat16",
+        max_top_k=max(args.max_top_k, args.top_k),
     )
     mesh = make_mesh(tp=args.tp) if args.tp > 1 else None
 

@@ -87,11 +87,24 @@ class LLMEngine:
             "preemptions": 0,
             "prefix_cached_tokens": 0,  # prompt tokens skipped via prefix hits
             "kv_blocks_in_use": 0,      # gauge (excludes the null page)
+            "runner_errors": 0,         # sequences finished by degradation
         }
 
     def add_request(
         self, token_ids: Seq[int], sampling_params: SamplingParams
     ) -> int:
+        # top_k is compiled into a static on-device bound
+        # (EngineConfig.max_top_k / ops.sampling._apply_top_k); a request
+        # beyond it would be SILENTLY truncated, so reject it at the
+        # boundary instead.
+        eng = getattr(self.model_runner, "engine_config", None)
+        max_top_k = getattr(eng, "max_top_k", None)
+        if max_top_k is not None and sampling_params.top_k > max_top_k:
+            raise ValueError(
+                f"top_k={sampling_params.top_k} exceeds the engine's "
+                f"compiled bound max_top_k={max_top_k} "
+                "(raise EngineConfig.max_top_k to allow it)"
+            )
         seq = Sequence(token_ids, sampling_params)
         logger.debug(
             "LLMEngine::add_request seq_id=%d prompt_len=%d max_tokens=%d",
@@ -105,6 +118,7 @@ class LLMEngine:
         runner error finishes the affected batch with EOS + error instead of
         crashing the serving process."""
         logger.error("model runner failed; degrading %d seqs: %s", len(seqs), exc)
+        self.metrics["runner_errors"] += len(seqs)
         for seq in seqs:
             self.scheduler.force_finish(seq, error=str(exc))
 

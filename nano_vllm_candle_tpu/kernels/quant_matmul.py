@@ -45,7 +45,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MAX_T = 256  # larger T (prefill buckets) routes to the XLA path
+from nano_vllm_candle_tpu.layers.linear import DECODE_MAX_T as MAX_T  # noqa: E402
+# larger T (prefill buckets) routes to the XLA dequant-then-dense path; the
+# bound is shared with layers/linear so the two dispatch layers cannot drift
 
 
 def _kernel(li_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, packed4: bool):

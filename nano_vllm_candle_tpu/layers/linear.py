@@ -34,6 +34,15 @@ import jax.numpy as jnp
 
 WeightLike = Union[jax.Array, Dict[str, jax.Array]]
 
+# Largest token count treated as a DECODE-shaped matmul (grouped exact-scale
+# quant path / pallas stacked kernels); anything larger is prefill-shaped and
+# takes the dequant-then-dense MXU path below. This is intentionally the
+# same bound as kernels/quant_matmul.MAX_T (which imports it): a decode
+# batch can only exceed it if max_num_seqs > 256 on one chip, at which point
+# the dense path is a deliberate fallback (it materializes the dequantized
+# weight per step — correct, but a bandwidth cliff; prefer dp sharding).
+DECODE_MAX_T = 256
+
 # Projections whose PLAIN (bf16) weights are stored transposed, i.e.
 # ``[out, in]`` with the contraction on the LAST axis. Measured on v5e
 # (decode shapes, [16, in] activations): contracting the minor/lane axis of
@@ -196,7 +205,7 @@ def matmul(
         s = jax.lax.dynamic_index_in_dim(s, layer_index, 0, keepdims=False)
     G, gs, out = q.shape
     T = x.shape[0]
-    if T > 256:
+    if T > DECODE_MAX_T:
         # Prefill-sized T: the grouped dot's [G, T, out] f32 partial dwarfs
         # the weight itself (measured 2.9 s TTFT for a 2048-token quantized
         # prefill vs 0.04 s bf16); dequantize to a [in, out] compute-dtype

@@ -78,10 +78,13 @@ class LLM:
             from nano_vllm_candle_tpu.layers.linear import quantize_qwen3_params
 
             logger.info("quantizing weights to %s", engine_config.quantization)
-            on_host = any(
-                d.platform == "cpu"
-                for x in jax.tree.leaves(params) for d in x.devices()
-            )
+            def _leaf_on_host(x) -> bool:
+                devs = getattr(x, "devices", None)
+                if devs is None:  # numpy / plain host array
+                    return True
+                return any(d.platform == "cpu" for d in devs())
+
+            on_host = any(_leaf_on_host(x) for x in jax.tree.leaves(params))
             if on_host:
                 with jax.default_device(jax.devices("cpu")[0]):
                     params = quantize_qwen3_params(

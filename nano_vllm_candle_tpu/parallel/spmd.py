@@ -9,7 +9,11 @@ on ``tp``, decode request slots on ``dp``, and each device runs the
 unchanged single-device kernel on its local shard. The one collective the
 reference *omitted* (``/root/reference/src/layers/linear.rs:184-198`` —
 RowParallelLinear without its all-reduce) is explicit here: row-parallel
-matmul islands ``psum`` their partial sums over ``tp`` in f32.
+matmul islands ``psum`` their per-shard results over ``tp``. (The psum
+itself runs in f32, but each shard's partial has already been rounded to
+the activation dtype by ``matmul`` — bf16 in production — so cross-shard
+reduction order is f32-stable while per-shard rounding matches the
+single-device bf16 matmul, not an end-to-end f32 accumulation.)
 
 Correctness notes:
 
@@ -72,7 +76,10 @@ def sharded_matmul(
     Column-parallel kinds shard the output dim on tp (x replicated over tp,
     no collective); row-parallel kinds shard the contraction dim (x arrives
     tp-sharded from the preceding column-parallel island) and psum the
-    partials in f32 — the all-reduce ``linear.rs:184-198`` forgot.
+    per-shard results — the all-reduce ``linear.rs:184-198`` forgot. The
+    psum upcasts to f32 so the cross-shard reduction never compounds bf16
+    addition error, but each shard's partial is already rounded to x.dtype
+    by ``matmul`` (see the module docstring).
     """
     from nano_vllm_candle_tpu.layers.linear import is_quantized, matmul
 

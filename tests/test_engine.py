@@ -408,6 +408,34 @@ class TestRobustness:
         assert out[0].error == "XLA exploded"
         assert out[0].token_ids == [100]  # EOS emitted, engine alive
         assert eng.is_finished()
+        # Degradation is OBSERVABLE: the dryrun/driver checks key off this
+        # metric, so a silent-EOS failure cannot masquerade as success.
+        assert eng.metrics["runner_errors"] == 1
+
+    def test_runner_errors_metric_counts_degraded_seqs(self):
+        class FailingRunner:
+            def run(self, seqs, is_prefill):
+                raise RuntimeError("boom")
+
+        eng = self.engine(runner=FailingRunner())
+        out = eng.generate(
+            [[1, 2], [3, 4], [5, 6]], SamplingParams(max_tokens=4)
+        )
+        assert all(o.error == "boom" for o in out)
+        assert eng.metrics["runner_errors"] == 3
+
+    def test_top_k_beyond_compiled_bound_rejected(self):
+        class Cfg:
+            max_top_k = 64
+
+        class BoundedRunner(DummyModelRunner):
+            engine_config = Cfg()
+
+        eng = self.engine(runner=BoundedRunner())
+        with pytest.raises(ValueError, match="max_top_k"):
+            eng.add_request([1, 2, 3], SamplingParams(top_k=500))
+        # at the bound is fine
+        eng.add_request([1, 2, 3], SamplingParams(top_k=64))
 
     def test_runner_error_then_engine_still_serves(self):
         class FlakyRunner:

@@ -133,6 +133,45 @@ def test_sharded_pallas_quantized_matches(tiny_params, quant, kvd):
     assert sharded == baseline, f"{quant}+kv_{kvd} pallas diverged under mesh"
 
 
+@pytest.mark.parametrize("tp,dp", [(2, 2)])
+def test_sharded_chunked_prefix_matches_single_device(tiny_params, tp, dp):
+    """Chunked prefill / prefix-cached attention under a mesh: a prompt
+    longer than the token budget forces a second prefill chunk whose
+    committed prefix is read back from the paged cache — the
+    ``pallas_prefix_attention + merge`` branch of
+    ``spmd.sharded_prefill_attention``, which the short-prompt tests above
+    never reach."""
+    long_prompt = [(i * 7) % 200 + 3 for i in range(150)]  # budget is 128
+
+    def gen(mesh, attn_impl=None):
+        llm = LLM(
+            config=CFG,
+            params=tiny_params,
+            engine_config=EngineConfig(
+                max_num_seqs=4,
+                max_num_batched_tokens=128,
+                num_kvcache_blocks=64,
+                kvcache_block_size=8,
+                max_model_len=256,
+                dtype="float32",
+                kv_cache_dtype="float32",
+                prefill_buckets=(64, 128),
+                use_pallas_kernels=False,
+                attn_impl=attn_impl,
+            ),
+            mesh=mesh,
+        )
+        outs = [o.token_ids for o in llm.generate([long_prompt], GREEDY)]
+        assert llm.engine.metrics["runner_errors"] == 0
+        assert llm.engine.metrics["prefill_tokens"] == len(long_prompt)
+        return outs
+
+    baseline = gen(None)
+    mesh = make_mesh(tp=tp, dp=dp)
+    assert gen(mesh) == baseline, "chunked XLA path diverged under mesh"
+    assert gen(mesh, "pallas") == baseline, "chunked pallas island diverged"
+
+
 class TestDistributed:
     """Multi-host scaffolding on the single-process virtual mesh."""
 
