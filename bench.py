@@ -46,6 +46,170 @@ def param_bytes(params) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
 
 
+def _scaling_engine(args, mesh, B):
+    """Build the scaling-measurement engine (shared by worker + baseline)."""
+    from nano_vllm_candle_tpu.config import EngineConfig, Qwen3Config
+    from nano_vllm_candle_tpu.llm import LLM
+
+    cfg = {
+        "0.6b": Qwen3Config.qwen3_0_6b,
+        "4b": Qwen3Config.qwen3_4b,
+        "8b": Qwen3Config.qwen3_8b,
+        "tiny": Qwen3Config.tiny,
+    }[args.model]()
+    tiny = args.model == "tiny"
+    prompt_len = 16 if tiny else args.prompt_len
+    decode_steps = 16 if tiny else args.decode_steps
+    block_size = 16 if tiny else args.block_size
+    max_len = prompt_len + decode_steps + block_size
+    eng = EngineConfig(
+        max_num_seqs=B,
+        max_num_batched_tokens=max(4096, B * prompt_len),
+        num_kvcache_blocks=1 + B * (-(-max_len // block_size)),
+        kvcache_block_size=block_size,
+        max_model_len=max_len,
+        dtype="float32" if tiny else "bfloat16",
+        enable_prefix_caching=False,
+        use_pallas_kernels=not tiny,
+        attn_impl="xla" if tiny else None,
+        fuse_projections=mesh is None,
+    )
+    return LLM(config=cfg, engine_config=eng, mesh=mesh), prompt_len, decode_steps
+
+
+def scaling_worker(args) -> None:
+    """One process of the scaling measurement (also the dp=1 baseline).
+
+    Every rank runs the identical request stream (the SPMD-determinism
+    contract, parallel/distributed.py) and reports global decode tok/s.
+    """
+    import json as _json
+    import os
+
+    import jax
+
+    if args.cpu or args.model == "tiny":
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from nano_vllm_candle_tpu.parallel import distributed
+    from nano_vllm_candle_tpu.sampling_params import SamplingParams
+
+    nprocs, rank = args.scaling_nprocs, args.scaling_rank
+    dp = args.dp
+    if nprocs > 1:
+        distributed.initialize(f"127.0.0.1:{args.scaling_port}", nprocs, rank)
+    mesh = (
+        distributed.make_hybrid_mesh(tp=args.tp, dp=dp)
+        if dp * args.tp > 1 else None
+    )
+    B = 4 * dp
+    llm, prompt_len, decode_steps = _scaling_engine(args, mesh, B)
+    cfgv = llm.config.vocab_size
+    rng = np.random.default_rng(0)
+    prompts = [list(map(int, rng.integers(3, cfgv - 3, prompt_len)))
+               for _ in range(B)]
+    sp = SamplingParams(temperature=0.0, max_tokens=decode_steps,
+                        ignore_eos=True)
+    for p in prompts:  # warmup/compile round
+        llm.add_request(p, sp)
+    llm.engine.run_until_done()
+    for p in prompts:  # timed round
+        llm.add_request(p, sp)
+    out = llm.step()
+    assert out.is_prefill
+    before = llm.engine.metrics["decode_tokens"]
+    t0 = time.perf_counter()
+    llm.engine.run_until_done()
+    dt = time.perf_counter() - t0
+    tok_s = (llm.engine.metrics["decode_tokens"] - before) / dt
+    res = {"rank": rank, "nprocs": nprocs, "dp": dp, "tp": args.tp,
+           "batch": B, "tok_s": round(tok_s, 2)}
+    with open(os.path.join(args.scaling_outdir, f"rank{rank}.json"), "w") as f:
+        _json.dump(res, f)
+
+
+def run_scaling(args) -> None:
+    """Scaling-efficiency harness (BASELINE config 5's shape, SURVEY §5.8).
+
+    Measures weak scaling dp=1 -> dp=N where each dp replica is its OWN OS
+    process joined via ``jax.distributed`` (Gloo over loopback on CPU — the
+    same runtime a multi-host TPU slice uses, minus the ICI). On CPU this is
+    a harness smoke (CPU "chips" share the machine, so efficiency is not a
+    hardware statement); pointed at N TPU hosts it is the BASELINE config 5
+    measurement, one command:
+
+        # host i of N:  python bench.py --scaling N --scaling-rank i ...
+        # CPU smoke:    python bench.py --scaling 2 --model tiny --cpu
+    """
+    import json as _json
+    import os
+    import socket
+    import subprocess
+    import tempfile
+
+    N = args.scaling
+    outdir = tempfile.mkdtemp(prefix="nvct_scaling_")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env_base = dict(os.environ)
+    env_base["PYTHONPATH"] = (
+        os.path.dirname(os.path.abspath(__file__)) + os.pathsep
+        + env_base.get("PYTHONPATH", "")
+    )
+    if args.cpu or args.model == "tiny":
+        env_base["XLA_FLAGS"] = (
+            env_base.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=1"
+        ).strip()
+
+    def spawn(rank, nprocs, dp):
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--scaling-worker", "--scaling-nprocs", str(nprocs),
+            "--scaling-rank", str(rank), "--scaling-port", str(port),
+            "--scaling-outdir", outdir, "--dp", str(dp),
+            "--tp", str(args.tp), "--model", args.model,
+            "--prompt-len", str(args.prompt_len),
+            "--decode-steps", str(args.decode_steps),
+            "--block-size", str(args.block_size),
+        ] + (["--cpu"] if args.cpu else [])
+        return subprocess.Popen(cmd, env=env_base, stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+
+    # dp=1 single-process baseline.
+    p = spawn(0, 1, 1)
+    out, _ = p.communicate(timeout=1200)
+    assert p.returncode == 0, f"baseline worker failed:\n{out}"
+    base = _json.load(open(os.path.join(outdir, "rank0.json")))
+
+    # dp=N across N processes.
+    procs = [spawn(r, N, N) for r in range(N)]
+    logs = [pr.communicate(timeout=1200)[0] for pr in procs]
+    for pr, log in zip(procs, logs):
+        assert pr.returncode == 0, f"scaling worker failed:\n{log}"
+    multi = _json.load(open(os.path.join(outdir, "rank0.json")))
+
+    eff = multi["tok_s"] / (N * base["tok_s"])
+    tag = "cpu" if (args.cpu or args.model == "tiny") else "tpu"
+    result = {
+        "metric": f"scaling_efficiency_dp{N}_{N}proc_{tag}_{args.model}",
+        "value": round(eff, 4),
+        "unit": "fraction",
+        "vs_baseline": round(eff, 4),
+        "extra": {
+            "dp1_tok_s": base["tok_s"],
+            f"dp{N}_tok_s_global": multi["tok_s"],
+            "processes": N,
+            "note": ("weak scaling, batch 4/replica; CPU = harness smoke "
+                     "(shared machine), TPU hosts = BASELINE config 5"),
+        },
+    }
+    print(json.dumps(result))
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="0.6b", choices=["0.6b", "4b", "8b", "tiny"])
@@ -69,9 +233,36 @@ def main() -> None:
                         choices=["bfloat16", "int8"])
     parser.add_argument("--tiny", action="store_true", help="tiny model on CPU (smoke)")
     parser.add_argument("--cpu", action="store_true")
+    # scaling harness (run_scaling / scaling_worker docstrings)
+    parser.add_argument("--scaling", type=int, metavar="N",
+                        help="measure dp=1 vs dp=N across N OS processes "
+                             "(jax.distributed); prints a scaling-efficiency "
+                             "JSON line")
+    parser.add_argument("--scaling-worker", action="store_true",
+                        help=argparse.SUPPRESS)
+    parser.add_argument("--scaling-nprocs", type=int, default=1,
+                        help=argparse.SUPPRESS)
+    parser.add_argument("--scaling-rank", type=int, default=0,
+                        help=argparse.SUPPRESS)
+    parser.add_argument("--scaling-port", type=int, default=0,
+                        help=argparse.SUPPRESS)
+    parser.add_argument("--scaling-outdir", default="",
+                        help=argparse.SUPPRESS)
     args = parser.parse_args()
     if args.tiny:
         args.model = "tiny"
+    if args.scaling_worker:
+        return scaling_worker(args)
+    if args.scaling:
+        return run_scaling(args)
+
+    if args.tp * args.dp > 1:
+        # Must precede the first backend use: XLA reads the env at init.
+        from nano_vllm_candle_tpu.parallel.distributed import (
+            apply_collective_overlap_flags,
+        )
+
+        apply_collective_overlap_flags()
 
     import jax
 

@@ -61,6 +61,15 @@ def main(argv=None) -> int:
     logging.basicConfig(level=level, format="%(asctime)s %(levelname)s %(name)s: %(message)s")
     logger = logging.getLogger("nano_vllm_candle_tpu.cli")
 
+    if args.tp > 1:
+        # Before first backend use: async-collective fusion + latency-hiding
+        # scheduler so tp collectives overlap compute (SURVEY.md §5.8).
+        from nano_vllm_candle_tpu.parallel.distributed import (
+            apply_collective_overlap_flags,
+        )
+
+        apply_collective_overlap_flags()
+
     import jax
 
     if args.device == "cpu":

@@ -192,6 +192,12 @@ class EngineConfig:
     # parallelism (mesh axes); tp shards heads/ffn, dp shards request slots
     tp_size: int = 1
     dp_size: int = 1
+    # Apply the XLA collective/compute-overlap flags
+    # (parallel/distributed.COLLECTIVE_OVERLAP_XLA_FLAGS) before the first
+    # backend use of a multi-chip run: async collective fusion + the
+    # latency-hiding scheduler, the mechanism for BASELINE config 5's >=85%
+    # 2-host scaling target. Harmless no-ops for single-device programs.
+    collective_overlap: bool = True
     # Decode steps per dispatch (multi-step decode; sampled tokens feed
     # forward on device). Amortizes host<->device round trips; finished
     # sequences overshoot by < decode_burst discarded tokens.

@@ -186,6 +186,241 @@ def _decode_kernel(
             lo_ref[0] = jnp.broadcast_to(l, lo_ref.shape[1:])
 
 
+# --------------------------------------------------------------------------
+# Grouped manual-DMA kernel (round 3)
+#
+# The grid-per-page kernel above pays ~0.5 us of fixed pipeline/scalar cost
+# per (sequence, page) grid step; at batch 64 that overhead alone was
+# 3.6 ms/step (ps=64, W=4, 28 layers) — ~70x the pages' actual DMA time
+# (profile_trace, round 3). This kernel restructures the loop: ONE grid
+# step per SEQ_BLOCK(=8) sequences, with an in-kernel double-buffered
+# manual-DMA loop over pages (pltpu.make_async_copy from the ANY-space
+# cache into VMEM scratch) and the per-page compute batched over the
+# group's sequences (one batched dot_general over [SB*nkv] instead of SB
+# separate [g, hd] @ [hd, ps] issues — GQA's g=2-row matmuls waste the MXU
+# individually). Per-sequence DMAs and the whole page iteration are
+# scalar-guarded so exhausted/inactive sequences cost neither bandwidth
+# nor compute.
+# --------------------------------------------------------------------------
+
+SEQ_BLOCK = 8  # sequences per grid step (grouped kernel)
+
+
+def _grouped_kernel(
+    # scalar prefetch
+    li_ref,  # [1] layer index
+    seq_lens_ref,  # [B] int32 (including the current token)
+    block_tables_ref,  # [B, W] int32, rows padded with their last valid page
+    # operands
+    qn_ref,  # [SB, nkv, g+2, hd] VMEM block (q + current k/v rows)
+    kv_hbm,  # [L, P, 2, nkv, ps, hd] full cache, ANY memory space
+    *rest,  # [s_hbm,] o_ref, kbuf, [sbuf,] sems, m_ref, l_ref, acc_ref
+    scale: float,
+    page_size: int,
+    num_pages_per_seq: int,
+    quantized: bool,
+):
+    if quantized:
+        s_hbm, o_ref, kbuf, sbuf, sems, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, kbuf, sems, m_ref, l_ref, acc_ref = rest
+        sbuf = None
+    i = pl.program_id(0)
+    ps = page_size
+    W = num_pages_per_seq
+    SB, nkv, g2, hd = qn_ref.shape
+    g = g2 - 2
+    nq = nkv * g
+    base = i * SB
+
+    lens = [seq_lens_ref[base + sb] for sb in range(SB)]  # scalar reads
+    npaged = [l - 1 for l in lens]  # current token is folded from registers
+
+    def start_dmas(slot, w):
+        for sb in range(SB):
+            @pl.when(w * ps < npaged[sb])
+            def _():
+                page = block_tables_ref[base + sb, w]
+                pltpu.make_async_copy(
+                    kv_hbm.at[li_ref[0], page],
+                    kbuf.at[slot, sb],
+                    sems.at[slot, sb, 0],
+                ).start()
+                if quantized:
+                    pltpu.make_async_copy(
+                        s_hbm.at[li_ref[0], page],
+                        sbuf.at[slot, sb],
+                        sems.at[slot, sb, 1],
+                    ).start()
+
+    def wait_dmas(slot, w):
+        for sb in range(SB):
+            @pl.when(w * ps < npaged[sb])
+            def _():
+                pltpu.make_async_copy(
+                    kv_hbm.at[li_ref[0], 0], kbuf.at[slot, sb],
+                    sems.at[slot, sb, 0],
+                ).wait()
+                if quantized:
+                    pltpu.make_async_copy(
+                        s_hbm.at[li_ref[0], 0], sbuf.at[slot, sb],
+                        sems.at[slot, sb, 1],
+                    ).wait()
+
+    m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+    l_ref[...] = jnp.zeros_like(l_ref)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q_all = qn_ref[:, :, :g]  # [SB, nkv, g, hd]
+    # Per-sequence paged lengths as a vector for masking (scalar->vector).
+    npaged_vec = jnp.concatenate(
+        [jnp.full((1,), n, jnp.int32) for n in npaged]
+    )  # [SB]
+
+    start_dmas(0, 0)
+    for w in range(W):  # static unroll; per-sequence scalar DMA guards
+        slot = w % 2
+        if w + 1 < W:
+            start_dmas((w + 1) % 2, w + 1)
+        wait_dmas(slot, w)
+
+        k = kbuf[slot, :, 0]  # [SB, nkv, ps, hd] cache dtype
+        v = kbuf[slot, :, 1]
+        cdt = q_all.dtype
+        if quantized:
+            k = k.astype(cdt)
+            v = v.astype(cdt)
+
+        s = jax.lax.dot_general(
+            q_all, k,
+            dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [SB, nkv, g, ps]
+        if quantized:
+            ks = sbuf[slot, :, 0]  # [SB, nkv, ps] f32
+            s = s * ks[:, :, None, :]
+
+        token_idx = w * ps + jax.lax.broadcasted_iota(
+            jnp.int32, (SB, nkv, g, ps), 3
+        )
+        mask = token_idx < npaged_vec[:, None, None, None]
+        s = jnp.where(mask, s, MASK_VALUE)
+        s2 = s.reshape(SB * nq, ps)
+        mask2 = mask.reshape(SB * nq, ps)
+        # A sequence with no tokens in this page window contributes NOTHING:
+        # its p row must be exactly zero (exp(MASK-MASK)=1 otherwise, the
+        # all-masked-softmax trap), and its pv row must be zeroed AFTER the
+        # dot (its un-DMA'd scratch page may hold NaNs; 0 x NaN = NaN). The
+        # per-page kernel sidesteps both with pl.when — here the group
+        # shares one compute, so the masks are explicit.
+        row_active = (w * ps < npaged_vec)[:, None]  # [SB, 1]
+        row_active = jnp.broadcast_to(
+            row_active[:, :, None], (SB, nq, 1)
+        ).reshape(SB * nq, 1)
+
+        m_prev = m_ref[:, :1]  # [SB*nq, 1]
+        l_prev = l_ref[:, :1]
+        m_curr = jnp.max(s2, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.where(mask2, jnp.exp(s2 - m_next), 0.0)
+        l_ref[...] = jnp.broadcast_to(
+            alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape
+        )
+        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+
+        p4 = p.reshape(SB, nkv, g, ps)
+        if quantized:
+            vs = sbuf[slot, :, 1]
+            p4 = p4 * vs[:, :, None, :]
+        pv = jax.lax.dot_general(
+            p4.astype(v.dtype), v,
+            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32,
+        ).reshape(SB * nq, hd)
+        pv = jnp.where(row_active, pv, 0.0)
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    # Fold the current token from registers, normalize, emit.
+    q_f = q_all.astype(jnp.float32)
+    k_new = qn_ref[:, :, g].astype(jnp.float32)  # [SB, nkv, hd]
+    v_new = qn_ref[:, :, g + 1].astype(jnp.float32)
+    s_new = jnp.sum(q_f * k_new[:, :, None, :], axis=-1) * scale  # [SB,nkv,g]
+    lens_vec = npaged_vec + 1
+    active = (lens_vec > 0)[:, None, None]
+    s2 = jnp.where(active, s_new, MASK_VALUE).reshape(SB * nq, 1)
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_next = jnp.maximum(m_prev, s2)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s2 - m_next)
+    p = jnp.where(
+        jnp.broadcast_to(active, (SB, nkv, g)).reshape(SB * nq, 1), p, 0.0
+    )
+    l = alpha * l_prev + p
+    vb = jnp.broadcast_to(v_new[:, :, None, :], (SB, nkv, g, hd))
+    acc = acc_ref[...] * alpha + p * vb.reshape(SB * nq, hd)
+    safe_l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[...] = (acc / safe_l).reshape(SB, nkv, g, hd).astype(o_ref.dtype)
+
+
+def grouped_supported(B: int, fold_new: bool, return_stats: bool) -> bool:
+    return fold_new and not return_stats and B % SEQ_BLOCK == 0
+
+
+def _grouped_call(
+    qn, kv_cache, kv_scale, li, seq_lens, block_tables, scale, interpret
+):
+    B, nkv, g2, hd = qn.shape
+    g = g2 - 2
+    L, P, _, _, ps, _ = kv_cache.shape
+    W = block_tables.shape[1]
+    SB = SEQ_BLOCK
+    quantized = kv_scale is not None
+
+    def qn_map(i, *_):
+        return (i, 0, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((SB, nkv, g2, hd), qn_map),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    operands = [qn, kv_cache]
+    scratch = [
+        pltpu.VMEM((2, SB, 2, nkv, ps, hd), kv_cache.dtype),  # kbuf
+    ]
+    if quantized:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(kv_scale)
+        scratch.append(pltpu.VMEM((2, SB, 2, nkv, ps), jnp.float32))  # sbuf
+    scratch += [
+        pltpu.SemaphoreType.DMA((2, SB, 2)),
+        pltpu.VMEM((SB * nkv * g, 128), jnp.float32),  # m
+        pltpu.VMEM((SB * nkv * g, 128), jnp.float32),  # l
+        pltpu.VMEM((SB * nkv * g, hd), jnp.float32),  # acc
+    ]
+    kernel = functools.partial(
+        _grouped_kernel, scale=scale, page_size=ps, num_pages_per_seq=W,
+        quantized=quantized,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B // SB,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((SB, nkv, g, hd), qn_map),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nkv, g, hd), qn.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(li, seq_lens, block_tables, *operands)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "interpret", "return_stats")
 )
@@ -247,6 +482,12 @@ def pallas_paged_decode_attention(
         qn = q.reshape(B, nkv, g, hd)
     li = jnp.asarray(layer_index, jnp.int32).reshape(1)
     g2 = qn.shape[2]
+
+    if grouped_supported(B, fold_new, return_stats):
+        return _grouped_call(
+            qn, kv_cache, kv_scale, li, seq_lens, block_tables, scale,
+            interpret,
+        ).reshape(B, nq, hd)
 
     def qn_map(b, w, *_):
         return (b, 0, 0, 0)

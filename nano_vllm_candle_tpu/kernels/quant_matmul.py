@@ -59,17 +59,24 @@ def _kernel(li_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, packe
 
     x = x_ref[...]  # [T, gs]
     if packed4:
-        # Widen before the -8 offset: Mosaic cannot legalize int8 vector
-        # subtraction on packed narrow layouts (arith.subi on i8).
+        # Unpack to UNSIGNED nibbles and let the matmul run on [0, 15]
+        # values, correcting the -8 zero-point afterwards:
+        #   dot(x, n - 8) == dot(x, n) - 8 * rowsum(x)
+        # The rowsum is a [T, 1] column (vs two [gs/2, out] vector
+        # subtractions per block) — measured 6% faster end-to-end at T=64
+        # (tmp round-3 microbench, variant C vs A). Widening to int32 first
+        # is still required: Mosaic cannot legalize int8/uint8 vector ops
+        # on packed narrow layouts.
         p = q_ref[0, 0].astype(jnp.int32)  # [gs/2, out], planar nibbles
-        w = jnp.concatenate(
-            [(p & 0xF) - 8, (p >> 4) - 8], axis=0
-        ).astype(x.dtype)
+        w = jnp.concatenate([p & 0xF, p >> 4], axis=0).astype(x.dtype)
+        d = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        d -= 8.0 * jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+        acc_ref[...] += d * s_ref[0, 0]
     else:
         w = q_ref[0, 0].astype(x.dtype)  # [gs, out], cast in VMEM
-    acc_ref[...] += (
-        jnp.dot(x, w, preferred_element_type=jnp.float32) * s_ref[0, 0]
-    )
+        acc_ref[...] += (
+            jnp.dot(x, w, preferred_element_type=jnp.float32) * s_ref[0, 0]
+        )
 
     @pl.when(g == n_groups - 1)
     def _emit():

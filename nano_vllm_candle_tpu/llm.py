@@ -42,6 +42,16 @@ class LLM:
         warm_transfer_async()
         if engine_config is None:
             engine_config = EngineConfig()
+        if mesh is not None and engine_config.collective_overlap:
+            # Best effort at this point: XLA_FLAGS is authoritative only
+            # before the first backend use, so the CLI/bench entry points
+            # apply it earlier; this covers library embedders who build the
+            # mesh before the engine (idempotent either way).
+            from nano_vllm_candle_tpu.parallel.distributed import (
+                apply_collective_overlap_flags,
+            )
+
+            apply_collective_overlap_flags()
         if model_dir is not None:
             if config is None:
                 config = Qwen3Config.from_hf_dir(model_dir)

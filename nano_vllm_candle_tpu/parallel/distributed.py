@@ -45,6 +45,43 @@ logger = logging.getLogger(__name__)
 
 _initialized = False
 
+#: XLA flags that make multi-chip collectives overlap with compute (the
+#: mechanism behind BASELINE config 5's >=85% 2-host scaling target,
+#: SURVEY.md §5.8). ``async_collective_fusion`` lets XLA split a collective
+#: into start/done pairs and fuse compute between them;
+#: ``latency_hiding_scheduler`` reorders the HLO schedule so the row-parallel
+#: psums of tensor parallelism run under the next layer's matmuls. No-ops on
+#: CPU and on single-device programs (XLA simply has no collectives to
+#: schedule), so they are safe to apply unconditionally.
+COLLECTIVE_OVERLAP_XLA_FLAGS = (
+    "--xla_tpu_enable_async_collective_fusion=true",
+    "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true",
+    "--xla_tpu_enable_async_collective_fusion_multiple_steps=true",
+    "--xla_tpu_overlap_compute_collective_tc=true",
+    "--xla_enable_async_all_gather=true",
+    "--xla_enable_async_collective_permute=true",
+    "--xla_tpu_enable_latency_hiding_scheduler=true",
+)
+
+
+def apply_collective_overlap_flags() -> None:
+    """Append the collective/compute-overlap flags to ``XLA_FLAGS``.
+
+    Must run BEFORE the first backend use (XLA reads the env at
+    initialization). Idempotent; flags already present are not duplicated.
+    ``EngineConfig.collective_overlap`` gates this from the engine builders;
+    ``bench.py``/``cli.py`` call it ahead of any multi-chip run so the
+    2-host measurement (BASELINE config 5) is one command when hardware
+    exists.
+    """
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    missing = [f for f in COLLECTIVE_OVERLAP_XLA_FLAGS if f not in flags]
+    if missing:
+        os.environ["XLA_FLAGS"] = (flags + " " + " ".join(missing)).strip()
+        logger.info("collective-overlap XLA flags applied: %s", missing)
+
 
 def initialize(
     coordinator_address: Optional[str] = None,

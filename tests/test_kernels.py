@@ -143,6 +143,76 @@ class TestPagedDecodeKernel:
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
+    @pytest.mark.parametrize("B", [8, 16])
+    def test_grouped_kernel_matches_xla_reference(self, B):
+        """B divisible by SEQ_BLOCK routes to the grouped manual-DMA kernel
+        (one grid step per 8 sequences, in-kernel double-buffered page
+        DMAs); must match the XLA twin exactly like the per-page kernel."""
+        from nano_vllm_candle_tpu.kernels.paged_decode import grouped_supported
+
+        assert grouped_supported(B, True, False)
+        q, kvc, bt, sl, nk, nv = make_case(B=B, P=8 * B, seed=9)
+        scale = q.shape[-1] ** -0.5
+        ref = twin_with_current_rows(q, kvc, bt, sl, nk, nv, scale)
+        out = pallas_paged_decode_attention(
+            q, kvc, bt, sl, scale, nk, nv, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_grouped_kernel_inactive_and_short(self):
+        """Grouped path: inactive slots (len 0) stay zero/finite and a
+        single-token sequence (whole context = folded row) matches."""
+        q, kvc, bt, sl, nk, nv = make_case(B=8, P=64, seed=10)
+        sl = sl.at[3].set(0)
+        bt = bt.at[3].set(0)
+        sl = sl.at[5].set(1)
+        scale = q.shape[-1] ** -0.5
+        ref = twin_with_current_rows(q, kvc, bt, sl, nk, nv, scale)
+        out = pallas_paged_decode_attention(
+            q, kvc, bt, sl, scale, nk, nv, interpret=True
+        )
+        assert np.all(np.isfinite(np.asarray(out)))
+        np.testing.assert_allclose(np.asarray(out[3]), 0.0)
+        # The twin helper has no inactive-slot contract (it writes the
+        # current row into the null page); compare active slots only.
+        active = [b for b in range(8) if b != 3]
+        np.testing.assert_allclose(
+            np.asarray(out)[active], np.asarray(ref)[active],
+            rtol=2e-5, atol=2e-5,
+        )
+
+    def test_grouped_kernel_int8_kv(self):
+        q, kvc, bt, sl, nk, nv = make_case(B=8, P=64, seed=11)
+        P_, _, nkv_, ps_, _ = kvc.shape
+        kq = jnp.clip(jnp.round(kvc * 20), -127, 127).astype(jnp.int8)
+        s = jax.random.uniform(
+            jax.random.key(12), (P_, 2, nkv_, ps_), jnp.float32, 0.01, 0.1
+        )
+        scale = q.shape[-1] ** -0.5
+        ref = paged_decode_attention(
+            q, kq, bt, jnp.maximum(sl - 1, 0) + (sl > 0), scale, kv_scale=s
+        )
+        btn, sln = np.asarray(bt), np.asarray(sl)
+        kqn, sn = np.asarray(kq), np.asarray(s)
+        nk2 = np.zeros_like(np.asarray(nk))
+        nv2 = np.zeros_like(np.asarray(nv))
+        for b in range(q.shape[0]):
+            t = int(sln[b]) - 1
+            pg = btn[b, t // ps_]
+            nk2[b] = (kqn[pg, 0, :, t % ps_].astype(np.float32)
+                      * sn[pg, 0, :, t % ps_][:, None])
+            nv2[b] = (kqn[pg, 1, :, t % ps_].astype(np.float32)
+                      * sn[pg, 1, :, t % ps_][:, None])
+        out = pallas_paged_decode_attention(
+            q, kq, bt, sl, scale, jnp.asarray(nk2), jnp.asarray(nv2),
+            kv_scale=s, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
     def test_bf16_inputs(self):
         q, kvc, bt, sl, nk, nv = make_case(seed=6, dtype=jnp.bfloat16)
         scale = q.shape[-1] ** -0.5
