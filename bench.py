@@ -233,6 +233,11 @@ def main() -> None:
                         choices=["bfloat16", "int8"])
     parser.add_argument("--tiny", action="store_true", help="tiny model on CPU (smoke)")
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--stagger", action="store_true",
+                        help="add a second wave of B requests AFTER decode "
+                             "starts, so prefills dispatch into the pipeline "
+                             "behind in-flight bursts (mixed prefill/decode "
+                             "batching, BASELINE config 3)")
     # scaling harness (run_scaling / scaling_worker docstrings)
     parser.add_argument("--scaling", type=int, metavar="N",
                         help="measure dp=1 vs dp=N across N OS processes "
@@ -377,6 +382,14 @@ def main() -> None:
     # decode runs the 2-deep pipelined driver (the serving path `generate`
     # uses): burst t+1 is dispatched before burst t's tokens are fetched, so
     # the tunnel round trip never stalls the chip.
+    if args.stagger:
+        # Second wave arrives while wave 1 decodes: run_until_done admits
+        # these prefills INTO the pipeline behind the in-flight bursts
+        # (mixed prefill/decode batching). Throughput counts both waves'
+        # decode tokens over the whole mixed window. Wave-2 slots only free
+        # up as wave-1 sequences finish, so admission interleaves too.
+        for p in prompts:
+            llm.add_request(p, sp)
     decode_before = llm.engine.metrics["decode_tokens"]
     t0 = time.perf_counter()
     llm.engine.run_until_done()
@@ -400,6 +413,7 @@ def main() -> None:
 
     wtag = args.quantization or dtype
     kvtag = "_kvint8" if kv_dtype == "int8" else ""
+    kvtag += "_mixed" if args.stagger else ""
     chiptag = f"{n_chips}chip" if n_chips > 1 else "1chip"
     result = {
         "metric": f"decode_tok_s_qwen3_{args.model}_{wtag}{kvtag}_bs{B}_{chiptag}",

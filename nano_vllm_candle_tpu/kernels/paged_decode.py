@@ -272,10 +272,18 @@ def _grouped_kernel(
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q_all = qn_ref[:, :, :g]  # [SB, nkv, g, hd]
-    # Per-sequence paged lengths as a vector for masking (scalar->vector).
-    npaged_vec = jnp.concatenate(
-        [jnp.full((1,), n, jnp.int32) for n in npaged]
-    )  # [SB]
+
+    # Mosaic cannot reshape/broadcast small 1-D vectors built from scalars
+    # (tpu.reshape 8x8 -> 64x1x1 is unsupported), so per-row scalar values
+    # are materialized by a static chain of scalar-broadcast selects over a
+    # row-index iota.
+    def per_row_scalar(shape, row_dim, rows_per_sb, values, init):
+        rows = jax.lax.broadcasted_iota(jnp.int32, shape, row_dim)
+        sb_of_row = rows // rows_per_sb
+        out = jnp.full(shape, init, jnp.int32)
+        for sb in range(SB):
+            out = jnp.where(sb_of_row == sb, values[sb], out)
+        return out
 
     start_dmas(0, 0)
     for w in range(W):  # static unroll; per-sequence scalar DMA guards
@@ -284,26 +292,29 @@ def _grouped_kernel(
             start_dmas((w + 1) % 2, w + 1)
         wait_dmas(slot, w)
 
-        k = kbuf[slot, :, 0]  # [SB, nkv, ps, hd] cache dtype
-        v = kbuf[slot, :, 1]
+        # (SB, nkv) flattened into ONE batch dim: Mosaic's tpu.matmul
+        # supports at most one batched dimension.
+        k = kbuf[slot, :, 0].reshape(SB * nkv, ps, hd)  # cache dtype
+        v = kbuf[slot, :, 1].reshape(SB * nkv, ps, hd)
         cdt = q_all.dtype
         if quantized:
             k = k.astype(cdt)
             v = v.astype(cdt)
 
         s = jax.lax.dot_general(
-            q_all, k,
-            dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+            q_all.reshape(SB * nkv, g, hd), k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale  # [SB, nkv, g, ps]
+        ) * scale  # [SB*nkv, g, ps]
         if quantized:
-            ks = sbuf[slot, :, 0]  # [SB, nkv, ps] f32
-            s = s * ks[:, :, None, :]
+            ks = sbuf[slot, :, 0].reshape(SB * nkv, ps)  # f32
+            s = s * ks[:, None, :]
 
         token_idx = w * ps + jax.lax.broadcasted_iota(
-            jnp.int32, (SB, nkv, g, ps), 3
+            jnp.int32, (SB * nkv, g, ps), 2
         )
-        mask = token_idx < npaged_vec[:, None, None, None]
+        npg = per_row_scalar((SB * nkv, g, ps), 0, nkv, npaged, 0)
+        mask = token_idx < npg
         s = jnp.where(mask, s, MASK_VALUE)
         s2 = s.reshape(SB * nq, ps)
         mask2 = mask.reshape(SB * nq, ps)
@@ -313,10 +324,8 @@ def _grouped_kernel(
         # dot (its un-DMA'd scratch page may hold NaNs; 0 x NaN = NaN). The
         # per-page kernel sidesteps both with pl.when — here the group
         # shares one compute, so the masks are explicit.
-        row_active = (w * ps < npaged_vec)[:, None]  # [SB, 1]
-        row_active = jnp.broadcast_to(
-            row_active[:, :, None], (SB, nq, 1)
-        ).reshape(SB * nq, 1)
+        row_npg = per_row_scalar((SB * nq, 1), 0, nq, npaged, 0)
+        row_active = w * ps < row_npg
 
         m_prev = m_ref[:, :1]  # [SB*nq, 1]
         l_prev = l_ref[:, :1]
@@ -329,13 +338,13 @@ def _grouped_kernel(
         )
         m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
 
-        p4 = p.reshape(SB, nkv, g, ps)
+        p4 = p.reshape(SB * nkv, g, ps)
         if quantized:
-            vs = sbuf[slot, :, 1]
-            p4 = p4 * vs[:, :, None, :]
+            vs = sbuf[slot, :, 1].reshape(SB * nkv, ps)
+            p4 = p4 * vs[:, None, :]
         pv = jax.lax.dot_general(
             p4.astype(v.dtype), v,
-            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).reshape(SB * nq, hd)
         pv = jnp.where(row_active, pv, 0.0)
@@ -346,17 +355,16 @@ def _grouped_kernel(
     k_new = qn_ref[:, :, g].astype(jnp.float32)  # [SB, nkv, hd]
     v_new = qn_ref[:, :, g + 1].astype(jnp.float32)
     s_new = jnp.sum(q_f * k_new[:, :, None, :], axis=-1) * scale  # [SB,nkv,g]
-    lens_vec = npaged_vec + 1
-    active = (lens_vec > 0)[:, None, None]
-    s2 = jnp.where(active, s_new, MASK_VALUE).reshape(SB * nq, 1)
+    # active = seq_len > 0 <=> npaged > -1, via the same per-row select.
+    row_npg = per_row_scalar((SB * nq, 1), 0, nq, npaged, -1)
+    active = row_npg > -1  # [SB*nq, 1] bool
+    s2 = jnp.where(active, s_new.reshape(SB * nq, 1), MASK_VALUE)
     m_prev = m_ref[:, :1]
     l_prev = l_ref[:, :1]
     m_next = jnp.maximum(m_prev, s2)
     alpha = jnp.exp(m_prev - m_next)
     p = jnp.exp(s2 - m_next)
-    p = jnp.where(
-        jnp.broadcast_to(active, (SB, nkv, g)).reshape(SB * nq, 1), p, 0.0
-    )
+    p = jnp.where(active, p, 0.0)
     l = alpha * l_prev + p
     vb = jnp.broadcast_to(v_new[:, :, None, :], (SB, nkv, g, hd))
     acc = acc_ref[...] * alpha + p * vb.reshape(SB * nq, hd)
@@ -364,8 +372,20 @@ def _grouped_kernel(
     o_ref[...] = (acc / safe_l).reshape(SB, nkv, g, hd).astype(o_ref.dtype)
 
 
-def grouped_supported(B: int, fold_new: bool, return_stats: bool) -> bool:
-    return fold_new and not return_stats and B % SEQ_BLOCK == 0
+#: Widest block table the grouped kernel accepts: its page loop is a static
+#: unroll (W iterations of SB DMA issues + one batched fold), so very long
+#: contexts would balloon the Mosaic program; the per-page grid kernel
+#: handles those (its grid is runtime-sized).
+MAX_GROUPED_W = 16
+
+
+def grouped_supported(
+    B: int, fold_new: bool, return_stats: bool, W: int = 1
+) -> bool:
+    return (
+        fold_new and not return_stats and B % SEQ_BLOCK == 0
+        and W <= MAX_GROUPED_W
+    )
 
 
 def _grouped_call(
@@ -483,7 +503,7 @@ def pallas_paged_decode_attention(
     li = jnp.asarray(layer_index, jnp.int32).reshape(1)
     g2 = qn.shape[2]
 
-    if grouped_supported(B, fold_new, return_stats):
+    if grouped_supported(B, fold_new, return_stats, W):
         return _grouped_call(
             qn, kv_cache, kv_scale, li, seq_lens, block_tables, scale,
             interpret,
