@@ -36,6 +36,9 @@ def parse_xplane(xplane_path: str, top: int = 25) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=6, help="decode engine steps to trace")
+    ap.add_argument("--prefill", action="store_true",
+                    help="trace a warm prefill step instead of decode")
+    ap.add_argument("--block-size", type=int, default=64)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--quantization", choices=["int8", "int4"])
     ap.add_argument("--kv-cache-dtype", default=None)
@@ -54,7 +57,7 @@ def main() -> None:
     from nano_vllm_candle_tpu.sampling_params import SamplingParams
 
     cfg = Qwen3Config.qwen3_0_6b()
-    B, prompt_len, block_size = args.batch, 128, 64
+    B, prompt_len, block_size = args.batch, 128, args.block_size
     decode_steps = 128
     max_len = prompt_len + decode_steps + block_size
     blocks_per_seq = -(-max_len // block_size)
@@ -77,14 +80,26 @@ def main() -> None:
     sp = SamplingParams(temperature=0.0, max_tokens=decode_steps, ignore_eos=True)
     for p in prompts:
         llm.add_request(p, sp)
-    llm.step()  # prefill (compile)
-    for _ in range(3):
-        llm.step()  # decode warm
     t0 = time.perf_counter()
-    with jax.profiler.trace(args.outdir):
-        for _ in range(args.steps):
-            llm.step()
-    print(f"# traced {args.steps} engine steps in {time.perf_counter()-t0:.2f}s")
+    llm.step()  # prefill (compile)
+    print(f"# first prefill (incl. compile) {time.perf_counter()-t0:.2f}s")
+    if args.prefill:
+        llm.engine.run_until_done()  # drain round 1
+        for p in prompts:
+            llm.add_request(p, sp)
+        t0 = time.perf_counter()
+        with jax.profiler.trace(args.outdir):
+            out = llm.step()  # warm prefill
+        assert out.is_prefill
+        print(f"# traced warm prefill in {time.perf_counter()-t0:.2f}s")
+    else:
+        for _ in range(3):
+            llm.step()  # decode warm
+        t0 = time.perf_counter()
+        with jax.profiler.trace(args.outdir):
+            for _ in range(args.steps):
+                llm.step()
+        print(f"# traced {args.steps} engine steps in {time.perf_counter()-t0:.2f}s")
     paths = sorted(glob.glob(args.outdir + "/**/*.xplane.pb", recursive=True))
     print("# xplane:", paths[-1] if paths else "NONE")
     if paths:
