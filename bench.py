@@ -216,6 +216,12 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--prompt-len", type=int, default=128)
     parser.add_argument("--decode-steps", type=int, default=128)
+    parser.add_argument("--max-batched-tokens", type=int, default=None,
+                        help="prefill token budget per step (default: fits "
+                             "all prompts in one packed prefill). Set to "
+                             "e.g. 4096 for long prompts so prefill runs "
+                             "CHUNKED (paged-prefix attention) instead of "
+                             "packing one enormous quadratic stream")
     parser.add_argument("--block-size", type=int, default=256,
                         help="KV page size in tokens (bigger pages = bigger "
                              "attention DMAs, fewer grid steps; 256 measured "
@@ -311,7 +317,9 @@ def main() -> None:
     kv_dtype = args.kv_cache_dtype or dtype
     eng = EngineConfig(
         max_num_seqs=B,
-        max_num_batched_tokens=max(4096, B * prompt_len),
+        max_num_batched_tokens=(
+            args.max_batched_tokens or max(4096, B * prompt_len)
+        ),
         num_kvcache_blocks=num_blocks,
         kvcache_block_size=block_size,
         max_model_len=max_len,

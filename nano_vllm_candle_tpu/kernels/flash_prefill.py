@@ -31,6 +31,11 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _prefill_kernel(
+    # scalar prefetch: per-tile segment ranges for block-level skipping
+    segf_q_ref,  # [Tq] int32 first real segment of each q tile (INT_MAX: none)
+    segl_q_ref,  # [Tq] int32 last segment of each q tile (-1: all padding)
+    segf_k_ref,  # [Tk] int32
+    segl_k_ref,  # [Tk] int32
     seg_q_ref,  # [1, 1, Bq] int32 (this q tile's segment ids)
     pos_q_ref,  # [1, 1, Bq] int32
     seg_k_ref,  # [1, 1, Bk] int32 (this k tile's)
@@ -59,8 +64,19 @@ def _prefill_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    # Skip strictly-upper tiles (k tile entirely after the q tile).
-    @pl.when(kt * block_k <= qt * block_q + block_q - 1)
+    # Skip strictly-upper tiles (k tile entirely after the q tile) AND
+    # tiles whose segment ranges cannot overlap: in a packed multi-sequence
+    # stream, a q tile of sequence s never attends into k tiles holding
+    # only earlier sequences, so the useful region is the block-diagonal
+    # band, not the full causal triangle (at 64 packed 128-token prompts
+    # the triangle is ~16x the band). All-padding tiles (first=INT_MAX /
+    # last=-1) can never overlap anything and are skipped outright.
+    causal_ok = kt * block_k <= qt * block_q + block_q - 1
+    seg_ok = (segf_k_ref[kt] <= segl_q_ref[qt]) & (
+        segf_q_ref[qt] <= segl_k_ref[kt]
+    )
+
+    @pl.when(causal_ok & seg_ok)
     def _compute():
         q = q_ref[0]  # [Bq, hd]
         k = k_ref[0]  # [Bk, hd]
@@ -152,10 +168,10 @@ def pallas_packed_prefill_attention(
         return_stats=return_stats,
     )
     out_shape = jax.ShapeDtypeStruct((nq, T, hd), q.dtype)
-    out_specs = pl.BlockSpec((1, block_q, hd), lambda h, qt, kt: (h, qt, 0))
+    out_specs = pl.BlockSpec((1, block_q, hd), lambda h, qt, kt, *_: (h, qt, 0))
     if return_stats:
         stat_spec = pl.BlockSpec(
-            (1, block_q, 128), lambda h, qt, kt: (h, qt, 0)
+            (1, block_q, 128), lambda h, qt, kt, *_: (h, qt, 0)
         )
         out_shape = (
             out_shape,
@@ -163,26 +179,37 @@ def pallas_packed_prefill_attention(
             jax.ShapeDtypeStruct((nq, T, 128), jnp.float32),
         )
         out_specs = (out_specs, stat_spec, stat_spec)
+    def tile_ranges(block):
+        tiles = seg_ids.reshape(T // block, block)
+        last = jnp.max(tiles, axis=1).astype(jnp.int32)
+        first = jnp.min(
+            jnp.where(tiles >= 0, tiles, jnp.iinfo(jnp.int32).max), axis=1
+        ).astype(jnp.int32)
+        return first, last
+
+    segf_q, segl_q = tile_ranges(block_q)
+    segf_k, segl_k = tile_ranges(block_k)
+
     res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=[
                 # seg/pos delivered per-tile via BlockSpec (arrays reshaped
                 # [n_tiles, 1, block]): dynamic in-kernel lane slices of a
                 # full [1, T] row need starts statically divisible by 128,
                 # which small tiles can't prove.
-                pl.BlockSpec((1, 1, block_q), lambda h, qt, kt: (qt, 0, 0)),
-                pl.BlockSpec((1, 1, block_q), lambda h, qt, kt: (qt, 0, 0)),
-                pl.BlockSpec((1, 1, block_k), lambda h, qt, kt: (kt, 0, 0)),
-                pl.BlockSpec((1, 1, block_k), lambda h, qt, kt: (kt, 0, 0)),
-                pl.BlockSpec((1, block_q, hd), lambda h, qt, kt: (h, qt, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda h, qt, kt, *_: (qt, 0, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda h, qt, kt, *_: (qt, 0, 0)),
+                pl.BlockSpec((1, 1, block_k), lambda h, qt, kt, *_: (kt, 0, 0)),
+                pl.BlockSpec((1, 1, block_k), lambda h, qt, kt, *_: (kt, 0, 0)),
+                pl.BlockSpec((1, block_q, hd), lambda h, qt, kt, *_: (h, qt, 0)),
                 pl.BlockSpec(
-                    (1, block_k, hd), lambda h, qt, kt, g=g: (h // g, kt, 0)
+                    (1, block_k, hd), lambda h, qt, kt, *_, g=g: (h // g, kt, 0)
                 ),
                 pl.BlockSpec(
-                    (1, block_k, hd), lambda h, qt, kt, g=g: (h // g, kt, 0)
+                    (1, block_k, hd), lambda h, qt, kt, *_, g=g: (h // g, kt, 0)
                 ),
             ],
             out_specs=out_specs,
@@ -198,6 +225,7 @@ def pallas_packed_prefill_attention(
         ),
         interpret=interpret,
     )(
+        segf_q, segl_q, segf_k, segl_k,
         seg_ids.reshape(T // block_q, 1, block_q),
         positions.reshape(T // block_q, 1, block_q),
         seg_ids.reshape(T // block_k, 1, block_k),
@@ -228,17 +256,19 @@ def _prefix_kernel(
     q_ref,  # [1, Bq, hd]
     k_ref,  # [1, 1, 1, 1, ps, hd]
     v_ref,
-    *rest,  # [ks_ref, vs_ref,] o_ref, mo_ref, lo_ref, m_scr, l_scr, acc_scr
+    *rest,  # [s_ref,] o_ref, mo_ref, lo_ref, m_scr, l_scr, acc_scr
     scale: float,
     page_size: int,
     num_pages: int,
+    num_q_per_kv: int,
     quantized: bool,
 ):
     if quantized:
-        ks_ref, vs_ref, o_ref, mo_ref, lo_ref, m_scr, l_scr, acc_scr = rest
+        s_ref, o_ref, mo_ref, lo_ref, m_scr, l_scr, acc_scr = rest
     else:
         o_ref, mo_ref, lo_ref, m_scr, l_scr, acc_scr = rest
     w = pl.program_id(2)
+    hg = pl.program_id(0) // num_q_per_kv  # this grid step's kv head
     ps = page_size
     plen = plen_ref[0]
 
@@ -256,8 +286,16 @@ def _prefix_kernel(
         ks = vs = None
         if quantized:
             cdt = q.dtype if q.dtype != jnp.int8 else jnp.bfloat16
-            ks = ks_ref[0, 0, 0, 0]  # [ps] f32... stored as [1, ps]
-            vs = vs_ref[0, 0, 0, 0]
+            # The scale block carries ALL heads ([2, nkv, ps]): a per-head
+            # (1, ps)-shaped block over the [..., nkv, ps] plane is not a
+            # legal Mosaic window (second-minor dim 1 is neither 8-divisible
+            # nor full). Select this grid step's kv head with a masked
+            # sublane reduce — nkv is tiny.
+            sboth = s_ref[0, 0]  # [2, nkv, ps] f32
+            nkv_ = sboth.shape[1]
+            row = jax.lax.broadcasted_iota(jnp.int32, (nkv_, ps), 0)
+            ks = jnp.sum(jnp.where(row == hg, sboth[0], 0.0), axis=0)  # [ps]
+            vs = jnp.sum(jnp.where(row == hg, sboth[1], 0.0), axis=0)
             k = k.astype(cdt)
             v = v.astype(cdt)
         s = jax.lax.dot_general(
@@ -346,11 +384,8 @@ def pallas_prefix_attention(
     def v_map(h, qt, w, li_ref, bt_ref, plen_ref, g=g):
         return (li_ref[0], bt_ref[w], 1, h // g, 0, 0)
 
-    def ks_map(h, qt, w, li_ref, bt_ref, plen_ref, g=g):
-        return (li_ref[0], bt_ref[w], 0, h // g, 0)
-
-    def vs_map(h, qt, w, li_ref, bt_ref, plen_ref, g=g):
-        return (li_ref[0], bt_ref[w], 1, h // g, 0)
+    def s_map(h, qt, w, li_ref, bt_ref, plen_ref):
+        return (li_ref[0], bt_ref[w], 0, 0, 0)
 
     in_specs = [
         pl.BlockSpec((1, block_q, hd), q_map),
@@ -359,17 +394,16 @@ def pallas_prefix_attention(
     ]
     operands = [qh, kv_cache, kv_cache]
     if quantized:
-        in_specs += [
-            pl.BlockSpec((1, 1, 1, 1, ps), ks_map),
-            pl.BlockSpec((1, 1, 1, 1, ps), vs_map),
-        ]
-        operands += [kv_scale, kv_scale]
+        # One block per page carrying BOTH k/v scale planes for all heads
+        # (a per-head (1, ps) window is not Mosaic-legal; see _prefix_kernel)
+        in_specs.append(pl.BlockSpec((1, 1, 2, nkv, ps), s_map))
+        operands.append(kv_scale)
 
     stat_spec = pl.BlockSpec((1, block_q, 128), q_map)
     res = pl.pallas_call(
         functools.partial(
             _prefix_kernel, scale=scale, page_size=ps, num_pages=W,
-            quantized=quantized,
+            num_q_per_kv=g, quantized=quantized,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,

@@ -272,6 +272,20 @@ class TestFlashPrefillKernel:
             np.asarray(out)[real], np.asarray(ref)[real], rtol=2e-5, atol=2e-5
         )
 
+    def test_segment_tile_skip_parity(self):
+        """Tile-aligned segments make whole off-diagonal tiles skippable
+        (the packed-stream band optimization); parity proves skipped tiles
+        truly contributed nothing."""
+        q, k, v, seg, pos = make_packed_case([64, 64, 64, 64], 256, seed=6)
+        scale = q.shape[-1] ** -0.5
+        ref = packed_prefill_attention(q, k, v, seg, pos, scale)
+        out = pallas_packed_prefill_attention(
+            q, k, v, seg, pos, scale, block_q=64, block_k=64, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
     def test_all_padding_finite(self):
         q, k, v, seg, pos = make_packed_case([], 128, seed=4)
         out = pallas_packed_prefill_attention(
