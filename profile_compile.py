@@ -1,4 +1,4 @@
-"""Bisect the r2 prefill-compile regression (562s in BENCH_r02).
+"""AOT lower/compile timing for the prefill step (dev tool).
 
 Reproduces the bench prefill config and times lower/compile of the prefill
 jit with individual pieces toggled. Fresh compile cache every run.
