@@ -404,11 +404,20 @@ MAX_GROUPED_W = 16
 
 
 def grouped_supported(
-    B: int, fold_new: bool, return_stats: bool, W: int = 1
+    B: int, fold_new: bool, return_stats: bool, W: int = 1,
+    kv_dtype=None,
 ) -> bool:
+    """Route to the grouped kernel only where it measured FASTER (round 3):
+    int8 pages at batch >= 16 (int4+int8KV bs64 12.9k -> 14.7k tok/s, bs16
+    +5.7%). With 2-byte (bf16) pages or small batches the per-(seq,page)
+    pipeline wins — its cross-grid-step DMA overlap runs deeper than the
+    grouped kernel's one-page lookahead, and wider pages make that overlap
+    matter more (bf16 bs8: 3,020 vs 2,887 grouped; int8-weights/bf16-KV
+    bs64: 11.6k vs 11.5k)."""
     return (
         fold_new and not return_stats and B % SEQ_BLOCK == 0
-        and W <= MAX_GROUPED_W
+        and B >= 16 and W <= MAX_GROUPED_W
+        and kv_dtype == jnp.int8
     )
 
 
@@ -466,7 +475,8 @@ def _grouped_call(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "interpret", "return_stats")
+    jax.jit, static_argnames=("scale", "interpret", "return_stats",
+                              "force_grouped")
 )
 def pallas_paged_decode_attention(
     q: jax.Array,  # [B, nq, hd]
@@ -481,6 +491,8 @@ def pallas_paged_decode_attention(
     layer_index: Optional[jax.Array] = None,
     interpret: bool = False,
     return_stats: bool = False,
+    force_grouped: bool = False,  # tests: exercise the grouped kernel
+    #                               regardless of the perf-gate heuristics
 ):
     """Decode attention against one layer of the full stacked paged cache.
 
@@ -527,7 +539,11 @@ def pallas_paged_decode_attention(
     li = jnp.asarray(layer_index, jnp.int32).reshape(1)
     g2 = qn.shape[2]
 
-    if grouped_supported(B, fold_new, return_stats, W):
+    if (
+        grouped_supported(B, fold_new, return_stats, W, kv_cache.dtype)
+        or (force_grouped and fold_new and not return_stats
+            and B % SEQ_BLOCK == 0)
+    ):
         return _grouped_call(
             qn, kv_cache, kv_scale, li, seq_lens, block_tables, scale,
             interpret,

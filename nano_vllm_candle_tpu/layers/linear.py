@@ -213,13 +213,10 @@ def matmul(
         # FLOP-bound, the dequant is noise. Decode batches (T <= 256) keep
         # the exact-scale grouped path / the fused Pallas kernel.
         wd = (q.astype(jnp.float32) * s).reshape(G * gs, out).astype(x.dtype)
-        # Materialize the dequantized weight ONCE: without the barrier XLA
-        # fuses the dequant as an operand producer of the dot and
-        # re-dequantizes the weight per output tile (round-3 measurement:
-        # warm 2048-token int8 prefill 3.8s vs ~0.1s expected; ~100x the
-        # compute in pure redequant). The extra HBM round trip is
-        # ~50 MB/layer — milliseconds.
-        wd = jax.lax.optimization_barrier(wd)
+        # (Round-3 note: an optimization_barrier here — forcing wd to
+        # materialize before the dot — was measured STRICTLY WORSE: int4
+        # bs64 warm TTFT 1.03s -> 16.5s. XLA's fused dequant-into-dot is
+        # the right schedule; leave it alone.)
         return x @ wd
     xg = x.reshape(T, G, gs)
     # partial[G, T, out] = sum_gs x[T, G, gs] * q[G, gs, out]

@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--prefill", action="store_true",
                     help="trace a warm prefill step instead of decode")
     ap.add_argument("--block-size", type=int, default=64)
+    ap.add_argument("--prompt-len", type=int, default=128)
+    ap.add_argument("--max-batched-tokens", type=int, default=None)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--quantization", choices=["int8", "int4"])
     ap.add_argument("--kv-cache-dtype", default=None)
@@ -57,13 +59,13 @@ def main() -> None:
     from nano_vllm_candle_tpu.sampling_params import SamplingParams
 
     cfg = Qwen3Config.qwen3_0_6b()
-    B, prompt_len, block_size = args.batch, 128, args.block_size
+    B, prompt_len, block_size = args.batch, args.prompt_len, args.block_size
     decode_steps = 128
     max_len = prompt_len + decode_steps + block_size
     blocks_per_seq = -(-max_len // block_size)
     eng = EngineConfig(
         max_num_seqs=B,
-        max_num_batched_tokens=max(4096, B * prompt_len),
+        max_num_batched_tokens=(args.max_batched_tokens or max(4096, B * prompt_len)),
         num_kvcache_blocks=1 + B * blocks_per_seq,
         kvcache_block_size=block_size,
         max_model_len=max_len,

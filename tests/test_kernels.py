@@ -148,14 +148,12 @@ class TestPagedDecodeKernel:
         """B divisible by SEQ_BLOCK routes to the grouped manual-DMA kernel
         (one grid step per 8 sequences, in-kernel double-buffered page
         DMAs); must match the XLA twin exactly like the per-page kernel."""
-        from nano_vllm_candle_tpu.kernels.paged_decode import grouped_supported
-
-        assert grouped_supported(B, True, False)
         q, kvc, bt, sl, nk, nv = make_case(B=B, P=8 * B, seed=9)
         scale = q.shape[-1] ** -0.5
         ref = twin_with_current_rows(q, kvc, bt, sl, nk, nv, scale)
         out = pallas_paged_decode_attention(
-            q, kvc, bt, sl, scale, nk, nv, interpret=True
+            q, kvc, bt, sl, scale, nk, nv, interpret=True,
+            force_grouped=True,
         )
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
@@ -171,7 +169,8 @@ class TestPagedDecodeKernel:
         scale = q.shape[-1] ** -0.5
         ref = twin_with_current_rows(q, kvc, bt, sl, nk, nv, scale)
         out = pallas_paged_decode_attention(
-            q, kvc, bt, sl, scale, nk, nv, interpret=True
+            q, kvc, bt, sl, scale, nk, nv, interpret=True,
+            force_grouped=True,
         )
         assert np.all(np.isfinite(np.asarray(out)))
         np.testing.assert_allclose(np.asarray(out[3]), 0.0)
@@ -207,7 +206,7 @@ class TestPagedDecodeKernel:
                       * sn[pg, 1, :, t % ps_][:, None])
         out = pallas_paged_decode_attention(
             q, kq, bt, sl, scale, jnp.asarray(nk2), jnp.asarray(nv2),
-            kv_scale=s, interpret=True,
+            kv_scale=s, interpret=True, force_grouped=True,
         )
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
