@@ -374,8 +374,21 @@ def main() -> None:
     # chained and unchained decode variants)
     llm.engine.run_until_done()
     decode_compile_s = time.perf_counter() - t0
+    # Second warmup round: the first post-decode prefill recompiles ONCE
+    # (the decode jit returns the donated KV cache in its own layout, and
+    # the jit cache is layout-keyed — measured: int8 bs16 prefill 1.75s /
+    # 2.97s / 0.06s across rounds 0/1/2). Serving processes hit steady
+    # state here, so TTFT below measures the engine, not that one-time
+    # layout specialization.
+    t0 = time.perf_counter()
+    for p in prompts:
+        llm.add_request(p, sp)
+    llm.step()
+    llm.engine.run_until_done()
+    relayout_s = time.perf_counter() - t0
     print(
-        f"# compile: prefill {prefill_compile_s:.1f}s decode {decode_compile_s:.1f}s",
+        f"# compile: prefill {prefill_compile_s:.1f}s decode "
+        f"{decode_compile_s:.1f}s relayout-round {relayout_s:.1f}s",
         file=sys.stderr,
     )
 
@@ -386,6 +399,23 @@ def main() -> None:
     out = llm.step()
     ttft_s = time.perf_counter() - t_prefill0
     assert out.is_prefill
+    # Long prompts prefill in CHUNKS (multiple steps); drain the remaining
+    # chunks BEFORE the decode clock starts or "decode tok/s" silently
+    # includes prefill work (a 16k-prompt run measured 63 tok/s that was
+    # really ~30s of chunk steps inside the decode window).
+    prefill_s = ttft_s
+    while llm.engine.scheduler.waiting or any(
+        s.num_computed_tokens < len(s) - 1
+        for s in llm.engine.scheduler.running
+    ):
+        t0 = time.perf_counter()
+        step = llm.step()
+        if not step.is_prefill:
+            break
+        prefill_s += time.perf_counter() - t0
+    if prefill_s > ttft_s:
+        print(f"# chunked prefill total {prefill_s:.2f}s "
+              f"(TTFT = first chunk {ttft_s:.2f}s)", file=sys.stderr)
 
     # decode runs the 2-deep pipelined driver (the serving path `generate`
     # uses): burst t+1 is dispatched before burst t's tokens are fetched, so

@@ -43,7 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-num-seqs", type=int, default=8)
     p.add_argument("--max-model-len", type=int, default=4096)
     p.add_argument("--kv-blocks", type=int, default=1024)
-    p.add_argument("--block-size", type=int, default=64)
+    p.add_argument("--block-size", type=int, default=256,
+                   help="KV page size in tokens (round-3 sweep: 64/128/256 "
+                        "within noise at bs8; 256 = fewest grid steps)")
     p.add_argument("--quantization", choices=["int8", "int4"],
                    help="weight-only quantization (on-the-fly at load)")
     p.add_argument("--kv-cache-dtype", default=None, choices=["bfloat16", "int8"],

@@ -155,11 +155,11 @@ class EngineConfig:
     Scheduler fields mirror ``SchedulerConfig``
     (``scheduler.rs:19-29``: defaults max_num_seqs=1 there; we default to a
     batch-friendly 8) and the KV-cache fields mirror ``BlockManagerConfig``
-    (``block_manager.rs:9-15``; their block_size default of 256 is tuned to
-    128 — the measured v5e sweet spot between paged-attention DMA size /
-    per-page grid overhead (bigger pages stream faster, fewer grid steps)
-    and partial-page overread on short sequences; re-measured after the
-    head-major-page kernel rework, where 128 beats 64 by ~15%).
+    (``block_manager.rs:9-15``; block_size default 256 matches theirs AND
+    the round-3 sweep on the current kernels — bf16 bs8 decode: 2,988 @64 /
+    2,948 @128 / 3,023 @256 tok/s, within ±2.5% run variance, with 256
+    giving the fewest per-page grid steps and biggest DMAs; bench.py uses
+    the same default).
     """
 
     # scheduling
@@ -167,7 +167,7 @@ class EngineConfig:
     max_num_batched_tokens: int = 4096
     # paged KV cache
     num_kvcache_blocks: int = 512
-    kvcache_block_size: int = 128
+    kvcache_block_size: int = 256
     max_blocks_per_seq: Optional[int] = None  # default: max_model_len / block_size
     enable_prefix_caching: bool = True
     native_block_manager: bool = True  # C++ allocator (csrc/), Python fallback

@@ -253,24 +253,32 @@ def _prefix_kernel(
     li_ref,  # [1] int32 layer index
     bt_ref,  # [W] int32 the sequence's pages
     plen_ref,  # [1] int32 committed prefix length
-    q_ref,  # [1, Bq, hd]
-    k_ref,  # [1, 1, 1, 1, ps, hd]
-    v_ref,
+    q_ref,  # [nkv, Bq, g, hd] this q tile, ALL heads (kv-head-major)
+    kv_ref,  # [1, 1, 2, nkv, ps, hd] combined K+V page, all heads
     *rest,  # [s_ref,] o_ref, mo_ref, lo_ref, m_scr, l_scr, acc_scr
     scale: float,
     page_size: int,
     num_pages: int,
-    num_q_per_kv: int,
     quantized: bool,
 ):
+    """One grid step = (q tile, prefix page) with ALL heads batched.
+
+    The round-2 design ran a (head, q-tile, page) grid with per-head page
+    slices — every page slice was DMA'd nq x Tq times (measured ~15 GB of
+    KV reads per 4096-token chunk at 16k prefix, >1s/chunk of pure
+    re-reads). Here a page is one combined [2, nkv, ps, hd] block fetched
+    once per q tile, and the per-head matmuls batch over nkv (one
+    single-batch-dim tpu.matmul), cutting chunk KV traffic by ~nq x.
+    """
     if quantized:
         s_ref, o_ref, mo_ref, lo_ref, m_scr, l_scr, acc_scr = rest
     else:
         o_ref, mo_ref, lo_ref, m_scr, l_scr, acc_scr = rest
-    w = pl.program_id(2)
-    hg = pl.program_id(0) // num_q_per_kv  # this grid step's kv head
+    w = pl.program_id(1)
     ps = page_size
     plen = plen_ref[0]
+    nkv, Bq, g, hd = q_ref.shape
+    rows = nkv * Bq * g
 
     @pl.when(w == 0)
     def _init():
@@ -280,60 +288,57 @@ def _prefix_kernel(
 
     @pl.when(w * ps < plen)
     def _compute():
-        q = q_ref[0]  # [Bq, hd]
-        k = k_ref[0, 0, 0, 0]  # [ps, hd]
-        v = v_ref[0, 0, 0, 0]
+        q = q_ref[...].reshape(nkv, Bq * g, hd)
+        k = kv_ref[0, 0, 0]  # [nkv, ps, hd]
+        v = kv_ref[0, 0, 1]
         ks = vs = None
         if quantized:
             cdt = q.dtype if q.dtype != jnp.int8 else jnp.bfloat16
-            # The scale block carries ALL heads ([2, nkv, ps]): a per-head
-            # (1, ps)-shaped block over the [..., nkv, ps] plane is not a
-            # legal Mosaic window (second-minor dim 1 is neither 8-divisible
-            # nor full). Select this grid step's kv head with a masked
-            # sublane reduce — nkv is tiny.
-            sboth = s_ref[0, 0]  # [2, nkv, ps] f32
-            nkv_ = sboth.shape[1]
-            row = jax.lax.broadcasted_iota(jnp.int32, (nkv_, ps), 0)
-            ks = jnp.sum(jnp.where(row == hg, sboth[0], 0.0), axis=0)  # [ps]
-            vs = jnp.sum(jnp.where(row == hg, sboth[1], 0.0), axis=0)
+            ks = s_ref[0, 0, 0]  # [nkv, ps] f32, all heads
+            vs = s_ref[0, 0, 1]
             k = k.astype(cdt)
             v = v.astype(cdt)
         s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale  # [Bq, ps]
+        ) * scale  # [nkv, Bq*g, ps]
         if ks is not None:
-            s = s * ks[None, :]
+            s = s * ks[:, None, :]
         # Every prefix position precedes every chunk position: only the
         # prefix-length bound masks.
-        tok = w * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = tok < plen
-        s = jnp.where(mask, s, MASK_VALUE)
+        tok = w * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        mask = (tok < plen).reshape(rows, ps)
+        s2 = s.reshape(rows, ps)
+        s2 = jnp.where(mask, s2, MASK_VALUE)
 
         m_prev = m_scr[:, :1]
         l_prev = l_scr[:, :1]
-        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_curr = jnp.max(s2, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        p = jnp.where(mask, p, 0.0)
+        p = jnp.where(mask, jnp.exp(s2 - m_next), 0.0)
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        p3 = p.reshape(nkv, Bq * g, ps)
         if vs is not None:
-            p = p * vs[None, :]
-        pv = jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
+            p3 = p3 * vs[:, None, :]
+        pv = jax.lax.dot_general(
+            p3.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(rows, hd)
         acc_scr[...] = acc_scr[...] * alpha + pv
 
     @pl.when(w == num_pages - 1)
     def _finalize():
         l = l_scr[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[...] / safe_l).astype(o_ref.dtype)
-        mo_ref[0] = m_scr[...]
-        lo_ref[0] = l_scr[...]
+        o_ref[...] = (
+            (acc_scr[...] / safe_l).reshape(nkv, Bq, g, hd).astype(o_ref.dtype)
+        )
+        mo_ref[...] = m_scr[...].reshape(nkv, Bq, g, 128)
+        lo_ref[...] = l_scr[...].reshape(nkv, Bq, g, 128)
 
 
 @functools.partial(
@@ -353,11 +358,11 @@ def pallas_prefix_attention(
 ):
     """Chunk-vs-prefix attention for chunked / prefix-cached prefill: every
     chunk token attends to the sequence's entire committed prefix
-    ``[0, prefix_len)``. Grid ``(nq, T/Bq, W)`` streams each prefix page
-    once per kv-head-group (pages ride the Pallas pipeline exactly like the
-    decode kernel); returns normalized ``(out [T, nq, hd], m [T, nq],
-    l [T, nq])`` for ``ops.attention.merge_attention_parts`` with the
-    in-chunk flash part. ``l == 0`` rows (prefix_len == 0) merge to a no-op.
+    ``[0, prefix_len)``. Grid ``(T/Bq, W)``: one combined all-heads K+V
+    page block per step (see ``_prefix_kernel``); returns normalized
+    ``(out [T, nq, hd], m [T, nq], l [T, nq])`` for
+    ``ops.attention.merge_attention_parts`` with the in-chunk flash part.
+    ``l == 0`` rows (prefix_len == 0) merge to a no-op.
 
     XLA twin: ``ops/attention.prefix_attention``.
     """
@@ -373,62 +378,62 @@ def pallas_prefix_attention(
                      jnp.int32).reshape(1)
     plen = jnp.asarray(prefix_len, jnp.int32).reshape(1)
 
-    qh = q.transpose(1, 0, 2)  # [nq, T, hd]
+    # kv-head-major q: [nkv, T, g, hd]; row order nq = kvh*g + gi matches
+    # the [T, nq] reshape convention everywhere else.
+    qh = q.reshape(T, nkv, g, hd).transpose(1, 0, 2, 3)
 
-    def q_map(h, qt, w, *_):
-        return (h, qt, 0)
+    def q_map(qt, w, *_):
+        return (0, qt, 0, 0)
 
-    def k_map(h, qt, w, li_ref, bt_ref, plen_ref, g=g):
-        return (li_ref[0], bt_ref[w], 0, h // g, 0, 0)
+    def kv_map(qt, w, li_ref, bt_ref, plen_ref):
+        return (li_ref[0], bt_ref[w], 0, 0, 0, 0)
 
-    def v_map(h, qt, w, li_ref, bt_ref, plen_ref, g=g):
-        return (li_ref[0], bt_ref[w], 1, h // g, 0, 0)
-
-    def s_map(h, qt, w, li_ref, bt_ref, plen_ref):
+    def s_map(qt, w, li_ref, bt_ref, plen_ref):
         return (li_ref[0], bt_ref[w], 0, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, block_q, hd), q_map),
-        pl.BlockSpec((1, 1, 1, 1, ps, hd), k_map),
-        pl.BlockSpec((1, 1, 1, 1, ps, hd), v_map),
+        pl.BlockSpec((nkv, block_q, g, hd), q_map),
+        pl.BlockSpec((1, 1, 2, nkv, ps, hd), kv_map),
     ]
-    operands = [qh, kv_cache, kv_cache]
+    operands = [qh, kv_cache]
     if quantized:
-        # One block per page carrying BOTH k/v scale planes for all heads
-        # (a per-head (1, ps) window is not Mosaic-legal; see _prefix_kernel)
         in_specs.append(pl.BlockSpec((1, 1, 2, nkv, ps), s_map))
         operands.append(kv_scale)
 
-    stat_spec = pl.BlockSpec((1, block_q, 128), q_map)
+    stat_spec = pl.BlockSpec((nkv, block_q, g, 128), q_map)
     res = pl.pallas_call(
         functools.partial(
             _prefix_kernel, scale=scale, page_size=ps, num_pages=W,
-            num_q_per_kv=g, quantized=quantized,
+            quantized=quantized,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(nq, T // block_q, W),
+            grid=(T // block_q, W),
             in_specs=in_specs,
             out_specs=(
-                pl.BlockSpec((1, block_q, hd), q_map),
+                pl.BlockSpec((nkv, block_q, g, hd), q_map),
                 stat_spec,
                 stat_spec,
             ),
             scratch_shapes=[
-                pltpu.VMEM((block_q, 128), jnp.float32),
-                pltpu.VMEM((block_q, 128), jnp.float32),
-                pltpu.VMEM((block_q, hd), jnp.float32),
+                pltpu.VMEM((nkv * block_q * g, 128), jnp.float32),
+                pltpu.VMEM((nkv * block_q * g, 128), jnp.float32),
+                pltpu.VMEM((nkv * block_q * g, hd), jnp.float32),
             ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nq, T, hd), q.dtype),
-            jax.ShapeDtypeStruct((nq, T, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nq, T, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nkv, T, g, hd), q.dtype),
+            jax.ShapeDtypeStruct((nkv, T, g, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nkv, T, g, 128), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(li, block_table.astype(jnp.int32), plen, *operands)
     out, m, l = res
-    return out.transpose(1, 0, 2), m[:, :, 0].T, l[:, :, 0].T
+    out = out.transpose(1, 0, 2, 3).reshape(T, nq, hd)
+    m = m[:, :, :, 0].transpose(1, 0, 2).reshape(T, nq)
+    l = l[:, :, :, 0].transpose(1, 0, 2).reshape(T, nq)
+    return out, m, l
