@@ -214,14 +214,21 @@ def _grouped_kernel(
     # operands
     qn_ref,  # [SB, nkv, g+2, hd] VMEM block (q + current k/v rows)
     kv_hbm,  # [L, P, 2, nkv, ps, hd] full cache, ANY memory space
-    *rest,  # [s_hbm,] o_ref, kbuf, [sbuf,] sems, m_ref, l_ref, acc_ref
+    *rest,  # [s_hbm,] o_ref, [kv_out, s_out,] kbuf, [sbuf,] sems,
+    #         [cbuf, pbuf, wsems,] m_ref, l_ref, acc_ref
     scale: float,
     page_size: int,
     num_pages_per_seq: int,
     quantized: bool,
+    fold_commit: bool = False,
 ):
     if quantized:
-        s_hbm, o_ref, kbuf, sbuf, sems, m_ref, l_ref, acc_ref = rest
+        s_hbm, *rest = rest
+    if fold_commit:
+        (o_ref, kv_out, s_out, kbuf, sbuf, sems, cbuf, pbuf, wsems,
+         m_ref, l_ref, acc_ref) = rest
+    elif quantized:
+        o_ref, kbuf, sbuf, sems, m_ref, l_ref, acc_ref = rest
     else:
         o_ref, kbuf, sems, m_ref, l_ref, acc_ref = rest
         sbuf = None
@@ -237,6 +244,13 @@ def _grouped_kernel(
     lens = [seq_lens_ref[base + sb] for sb in range(SB)]  # scalar reads
     npaged = [l - 1 for l in lens]  # current token is folded from registers
 
+    # fold_commit additionally fetches the CURRENT token's page (<=: the
+    # page holding position npaged, possibly still empty) so the commit can
+    # read-modify-write its 8-row window from VMEM.
+    def fetch_wanted(w, length):
+        n_p = length - 1
+        return (w * ps <= n_p) if fold_commit else (w * ps < n_p)
+
     # Buffer slots follow the GLOBAL page counter (i*W + w) so prefetching
     # the NEXT group's first page from the tail of this group keeps parity.
     def slot_of(w):
@@ -251,7 +265,7 @@ def _grouped_kernel(
         """
         gbase = grp * SB
         for sb in range(SB):
-            @pl.when(w * ps < seq_lens_ref[gbase + sb] - 1)
+            @pl.when(fetch_wanted(w, seq_lens_ref[gbase + sb]))
             def _():
                 page = block_tables_ref[gbase + sb, w]
                 pltpu.make_async_copy(
@@ -268,7 +282,7 @@ def _grouped_kernel(
 
     def wait_dmas(slot, w):
         for sb in range(SB):
-            @pl.when(w * ps < npaged[sb])
+            @pl.when(fetch_wanted(w, lens[sb]))
             def _():
                 pltpu.make_async_copy(
                     kv_hbm.at[li_ref[0], 0], kbuf.at[slot, sb],
@@ -306,11 +320,13 @@ def _grouped_kernel(
         slot = slot_of(w)
         if w + 1 < W:
             start_dmas(i, w + 1, slot_of(w + 1))
-        else:
+        elif not fold_commit:
             # Prefetch the NEXT group's first page under this group's
             # compute — the cross-grid-step overlap the automatic pipeline
             # had and the first grouped revision lost (measured: bs64 int4
-            # 12.9k -> 12.1k tok/s without it).
+            # 12.9k -> 12.1k tok/s without it). With fold_commit the
+            # prefetch moves AFTER the commit phase, which reads kbuf at a
+            # per-sequence dynamic slot the prefetch would clobber.
             @pl.when(i + 1 < n_groups)
             def _():
                 start_dmas(i + 1, 0, slot_of(w + 1))
@@ -395,6 +411,71 @@ def _grouped_kernel(
     safe_l = jnp.where(l == 0.0, 1.0, l)
     o_ref[...] = (acc / safe_l).reshape(SB, nkv, g, hd).astype(o_ref.dtype)
 
+    if not fold_commit:
+        return
+
+    # ---- fused page commit (replaces kernels/kv_commit.pallas_row_commit
+    # for this path — its separate (B,) grid measured 0.57 ms/step of
+    # near-pure overhead at bs64). The current token's page is already in
+    # kbuf (the <= fetch guard); RMW its 8-row window in VMEM and DMA the
+    # window (+ the page's scale plane) back. Runs BEFORE the next-group
+    # prefetch, which would clobber kbuf slots.
+    rows = jnp.stack(
+        [qn_ref[:, :, g], qn_ref[:, :, g + 1]], axis=1
+    )  # [SB, 2, nkv, hd] activation dtype
+    rf = rows.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(rf), axis=-1)  # [SB, 2, nkv]
+    qscale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    qrow = jnp.clip(jnp.round(rf / qscale[..., None]), -127, 127)
+
+    G8 = 8  # kv_commit.GROUP: the f32-sublane-tile RMW window
+    for sb in range(SB):
+        @pl.when(lens[sb] > 0)
+        def _commit(sb=sb):
+            n_p = npaged[sb]  # position of the current token
+            pw = n_p // ps
+            pwc = jnp.minimum(pw, W - 1)
+            page = block_tables_ref[base + sb, pwc]
+            # Speculative overshoot past the table routes to the null page.
+            page = jnp.where(pw < W, page, 0)
+            slot_cur = (i * W + pwc) % 2
+            w8 = (n_p % ps) // G8
+            off_in = n_p % G8
+            win = kbuf[slot_cur, sb, :, :, pl.ds(w8 * G8, G8), :]
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (2, nkv, G8, hd), 2)
+            ins = qrow[sb].astype(win.dtype)  # [2, nkv, hd]
+            cbuf[sb] = jnp.where(ridx == off_in, ins[:, :, None, :], win)
+            pltpu.make_async_copy(
+                cbuf.at[sb],
+                kv_out.at[li_ref[0], page, :, :, pl.ds(w8 * G8, G8), :],
+                wsems.at[sb, 0],
+            ).start()
+            plane = sbuf[slot_cur, sb]  # [2, nkv, ps] f32
+            col = jax.lax.broadcasted_iota(jnp.int32, (2, nkv, ps), 2)
+            pbuf[sb] = jnp.where(
+                col == n_p % ps, qscale[sb][..., None], plane
+            )
+            pltpu.make_async_copy(
+                pbuf.at[sb], s_out.at[li_ref[0], page], wsems.at[sb, 1]
+            ).start()
+
+    # Cross-group prefetch now that kbuf reads are done (vector reads
+    # complete in program order; the write DMAs source from cbuf/pbuf).
+    @pl.when(i + 1 < n_groups)
+    def _():
+        start_dmas(i + 1, 0, slot_of(W))
+
+    for sb in range(SB):
+        @pl.when(lens[sb] > 0)
+        def _wait(sb=sb):
+            pltpu.make_async_copy(
+                cbuf.at[sb], kv_out.at[li_ref[0], 0, :, :, pl.ds(0, G8), :],
+                wsems.at[sb, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                pbuf.at[sb], s_out.at[li_ref[0], 0], wsems.at[sb, 1]
+            ).wait()
+
 
 #: Widest block table the grouped kernel accepts: its page loop is a static
 #: unroll (W iterations of SB DMA issues + one batched fold), so very long
@@ -422,7 +503,8 @@ def grouped_supported(
 
 
 def _grouped_call(
-    qn, kv_cache, kv_scale, li, seq_lens, block_tables, scale, interpret
+    qn, kv_cache, kv_scale, li, seq_lens, block_tables, scale, interpret,
+    fold_commit=False,
 ):
     B, nkv, g2, hd = qn.shape
     g = g2 - 2
@@ -430,6 +512,7 @@ def _grouped_call(
     W = block_tables.shape[1]
     SB = SEQ_BLOCK
     quantized = kv_scale is not None
+    assert not fold_commit or quantized, "fold_commit requires int8 KV"
 
     def qn_map(i, *_):
         return (i, 0, 0, 0)
@@ -439,22 +522,45 @@ def _grouped_call(
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     operands = [qn, kv_cache]
+    out_specs = pl.BlockSpec((SB, nkv, g, hd), qn_map)
+    out_shape = jax.ShapeDtypeStruct((B, nkv, g, hd), qn.dtype)
+    io_aliases = {}
+    if quantized:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(kv_scale)
+    if fold_commit:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
+            jax.ShapeDtypeStruct(kv_scale.shape, kv_scale.dtype),
+        )
+        # operand index (after the 3 scalar-prefetch args): kv=4, scale=5
+        io_aliases = {4: 1, 5: 2}
     scratch = [
         pltpu.VMEM((2, SB, 2, nkv, ps, hd), kv_cache.dtype),  # kbuf
     ]
     if quantized:
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        operands.append(kv_scale)
         scratch.append(pltpu.VMEM((2, SB, 2, nkv, ps), jnp.float32))  # sbuf
+    scratch.append(pltpu.SemaphoreType.DMA((2, SB, 2)))
+    if fold_commit:
+        scratch += [
+            pltpu.VMEM((SB, 2, nkv, 8, hd), kv_cache.dtype),  # cbuf
+            pltpu.VMEM((SB, 2, nkv, ps), jnp.float32),  # pbuf
+            pltpu.SemaphoreType.DMA((SB, 2)),  # wsems
+        ]
     scratch += [
-        pltpu.SemaphoreType.DMA((2, SB, 2)),
         pltpu.VMEM((SB * nkv * g, 128), jnp.float32),  # m
         pltpu.VMEM((SB * nkv * g, 128), jnp.float32),  # l
         pltpu.VMEM((SB * nkv * g, hd), jnp.float32),  # acc
     ]
     kernel = functools.partial(
         _grouped_kernel, scale=scale, page_size=ps, num_pages_per_seq=W,
-        quantized=quantized,
+        quantized=quantized, fold_commit=fold_commit,
     )
     return pl.pallas_call(
         kernel,
@@ -462,16 +568,63 @@ def _grouped_call(
             num_scalar_prefetch=3,
             grid=(B // SB,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((SB, nkv, g, hd), qn_map),
+            out_specs=out_specs,
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, nkv, g, hd), qn.dtype),
+        out_shape=out_shape,
+        input_output_aliases=io_aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(li, seq_lens, block_tables, *operands)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def pallas_paged_decode_commit(
+    q: jax.Array,  # [B, nq, hd]
+    kv_cache: jax.Array,  # [L, P, 2, nkv, ps, hd] int8
+    block_tables: jax.Array,  # [B, W]
+    seq_lens: jax.Array,  # [B] (including the current token)
+    scale: float,
+    new_k: jax.Array,  # [B, nkv, hd]
+    new_v: jax.Array,
+    *,
+    kv_scale: jax.Array,  # [L, P, 2, nkv, ps] f32
+    layer_index: jax.Array,
+    interpret: bool = False,
+):
+    """Grouped decode attention WITH the page commit fused in: one kernel
+    attends over pages [0, seq_len-1) + the register-folded current token
+    AND inserts that token's quantized k/v row (+ scale column) into its
+    page — replacing the separate ``pallas_row_commit`` call, whose (B,)
+    grid measured 0.57 ms/step of near-pure overhead at bs64 (round-3
+    trace). Returns ``(attn_out [B, nq, hd], kv_cache, kv_scale)`` with the
+    caches updated in place (aliased ANY-space outputs).
+
+    Only for the grouped regime (``grouped_supported``): int8 pages,
+    B % SEQ_BLOCK == 0, B >= 16, trimmed W. The commit math is identical
+    to ``pallas_row_commit`` (per-vector symmetric int8, true scale;
+    null-page routing for speculative overshoot).
+    """
+    B, nq, hd = q.shape
+    L, P, _, nkv, ps, _ = kv_cache.shape
+    g = nq // nkv
+    qn = jnp.concatenate(
+        [
+            q.reshape(B, nkv, g, hd),
+            new_k.reshape(B, nkv, 1, hd).astype(q.dtype),
+            new_v.reshape(B, nkv, 1, hd).astype(q.dtype),
+        ],
+        axis=2,
+    )
+    li = jnp.asarray(layer_index, jnp.int32).reshape(1)
+    out, kv, kvs = _grouped_call(
+        qn, kv_cache, kv_scale, li, seq_lens, block_tables, scale,
+        interpret, fold_commit=True,
+    )
+    return out.reshape(B, nq, hd), kv, kvs
 
 
 @functools.partial(

@@ -462,19 +462,38 @@ def _decoder_layer(
         # (kernels/paged_decode.py docstring), so no staging structure.
         n = batch.seq_lens  # includes the current token; 0 = inactive slot
         from nano_vllm_candle_tpu.kernels.paged_decode import (
+            grouped_supported,
             pallas_paged_decode_attention,
+            pallas_paged_decode_commit,
         )
         from nano_vllm_candle_tpu.kernels.kv_commit import pallas_row_commit
 
-        attn_out = pallas_paged_decode_attention(
-            q, kv, batch.block_tables, n, scale, k, v,
-            kv_scale=kvs, layer_index=li, interpret=interp,
-        ).astype(hidden.dtype)
-        if "commit" not in ABLATE:
-            kv, kvs = pallas_row_commit(
-                kv, k, v, li, batch.slot_mapping, kv_scale=kvs,
-                interpret=interp,
+        fold = (
+            "commit" not in ABLATE and kvs is not None
+            and grouped_supported(
+                q.shape[0], True, False, batch.block_tables.shape[1],
+                kv.dtype,
             )
+        )
+        if fold:
+            # Grouped regime: the commit is FUSED into the attention kernel
+            # (kernels/paged_decode.pallas_paged_decode_commit), retiring
+            # the separate row-commit grid for this path.
+            attn_out, kv, kvs = pallas_paged_decode_commit(
+                q, kv, batch.block_tables, n, scale, k, v,
+                kv_scale=kvs, layer_index=li, interpret=interp,
+            )
+            attn_out = attn_out.astype(hidden.dtype)
+        else:
+            attn_out = pallas_paged_decode_attention(
+                q, kv, batch.block_tables, n, scale, k, v,
+                kv_scale=kvs, layer_index=li, interpret=interp,
+            ).astype(hidden.dtype)
+            if "commit" not in ABLATE:
+                kv, kvs = pallas_row_commit(
+                    kv, k, v, li, batch.slot_mapping, kv_scale=kvs,
+                    interpret=interp,
+                )
     else:
         # XLA twin (CPU tests / numerics reference): commit the current row
         # first, then attend over the cache including it. Under int8 KV the

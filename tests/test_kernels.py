@@ -212,6 +212,60 @@ class TestPagedDecodeKernel:
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
+    def test_fold_commit_matches_attention_plus_row_commit(self):
+        """pallas_paged_decode_commit == pallas_paged_decode_attention
+        followed by pallas_row_commit: identical attention output AND
+        identical cache/scale contents (including null-page routing for an
+        inactive slot)."""
+        from nano_vllm_candle_tpu.kernels.paged_decode import (
+            pallas_paged_decode_commit,
+        )
+        from nano_vllm_candle_tpu.kernels.kv_commit import pallas_row_commit
+
+        B = 16
+        q, kvc, bt, sl, nk, nv = make_case(B=B, P=8 * B, seed=13)
+        sl = sl.at[5].set(0)
+        bt = bt.at[5].set(0)
+        P_, _, nkv_, ps_, hd_ = kvc.shape
+        kq = jnp.clip(jnp.round(kvc * 20), -127, 127).astype(jnp.int8)
+        s = jax.random.uniform(
+            jax.random.key(14), (P_, 2, nkv_, ps_), jnp.float32, 0.01, 0.1
+        )
+        scale = hd_ ** -0.5
+        # reference path: attention then separate row commit
+        ref_out = pallas_paged_decode_attention(
+            q, kq, bt, sl, scale, nk, nv, kv_scale=s, interpret=True,
+            force_grouped=True,
+        )
+        slots = np.zeros((B,), np.int32)
+        btn, sln = np.asarray(bt), np.asarray(sl)
+        for b in range(B):
+            n = int(sln[b])
+            t = max(n - 1, 0)
+            slots[b] = btn[b, t // ps_] * ps_ + t % ps_ if n > 0 else 0
+        ref_kv, ref_s = pallas_row_commit(
+            kq[None], nk, nv, jnp.int32(0), jnp.asarray(slots),
+            kv_scale=s[None], interpret=True,
+        )
+        # fused path
+        out, kv2, s2 = pallas_paged_decode_commit(
+            q, kq[None], bt, sl, scale, nk, nv,
+            kv_scale=s[None], layer_index=jnp.int32(0), interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref_out), rtol=2e-5, atol=2e-5
+        )
+        # Page 0 is the null page: row_commit routes INACTIVE slots' rows
+        # there while the fused kernel skips them — its contents are
+        # garbage by convention and excluded.
+        np.testing.assert_array_equal(
+            np.asarray(kv2)[:, 1:], np.asarray(ref_kv)[:, 1:]
+        )
+        np.testing.assert_allclose(
+            np.asarray(s2)[:, 1:], np.asarray(ref_s)[:, 1:],
+            rtol=1e-6, atol=0,
+        )
+
     def test_bf16_inputs(self):
         q, kvc, bt, sl, nk, nv = make_case(seed=6, dtype=jnp.bfloat16)
         scale = q.shape[-1] ** -0.5
