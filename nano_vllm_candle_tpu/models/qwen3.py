@@ -307,6 +307,10 @@ def _commit_prefill_groups(kv, kvs, k, v, slot_mapping, seg_ids, li, ps,
 ABLATE: frozenset = frozenset()
 _ABLATABLE = ("norms", "qknorm", "rope", "commit")
 
+# Fuse the decode page commit into the grouped attention kernel. Measured
+# SLOWER on v5e (see _decoder_layer); flip for experiments only.
+FOLD_COMMIT = False
+
 
 def _decoder_layer(
     hidden: jax.Array,
@@ -468,7 +472,15 @@ def _decoder_layer(
         )
         from nano_vllm_candle_tpu.kernels.kv_commit import pallas_row_commit
 
-        fold = (
+        # Commit fusion is DISABLED by default: fusing the row commit into
+        # the grouped attention kernel (pallas_paged_decode_commit) measured
+        # 13.2k vs 14.5k tok/s at int4+int8KV bs64 — the in-kernel RMW tail
+        # (per-sequence dynamic-slot window reads + serialized write-DMA
+        # waits) costs more than the 0.57 ms/step separate row-commit grid
+        # it replaces, and it delays the cross-group page prefetch. Kept as
+        # a tested kernel (test_fold_commit_matches_attention_plus_row_commit)
+        # for future revisit with a stash-early structure.
+        fold = FOLD_COMMIT and (
             "commit" not in ABLATE and kvs is not None
             and grouped_supported(
                 q.shape[0], True, False, batch.block_tables.shape[1],
