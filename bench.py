@@ -237,6 +237,10 @@ def main() -> None:
                         help="weight-only quantization (BASELINE configs 2-4)")
     parser.add_argument("--kv-cache-dtype", default=None,
                         choices=["bfloat16", "int8"])
+    parser.add_argument("--decode-burst", type=int, default=16,
+                        help="decode steps per dispatch (on-device scan)")
+    parser.add_argument("--pipeline-depth", type=int, default=3,
+                        help="in-flight chained decode bursts")
     parser.add_argument("--tiny", action="store_true", help="tiny model on CPU (smoke)")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--stagger", action="store_true",
@@ -328,6 +332,8 @@ def main() -> None:
         quantization=args.quantization,
         enable_prefix_caching=False,  # distinct prompts; keep bench honest
         use_pallas_kernels=True,
+        decode_burst=args.decode_burst,
+        pipeline_depth=args.pipeline_depth,
     )
     mesh = None
     n_chips = args.tp * args.dp

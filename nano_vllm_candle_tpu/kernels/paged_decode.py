@@ -486,7 +486,7 @@ MAX_GROUPED_W = 16
 
 def grouped_supported(
     B: int, fold_new: bool, return_stats: bool, W: int = 1,
-    kv_dtype=None,
+    kv_dtype=None, ps: int = 256,
 ) -> bool:
     """Route to the grouped kernel only where it measured FASTER (round 3):
     int8 pages at batch >= 16 (int4+int8KV bs64 12.9k -> 14.7k tok/s, bs16
@@ -499,6 +499,10 @@ def grouped_supported(
         fold_new and not return_stats and B % SEQ_BLOCK == 0
         and B >= 16 and W <= MAX_GROUPED_W
         and kv_dtype == jnp.int8
+        # The manual scale-plane DMA copies [2, nkv, ps] f32 blocks whose
+        # minor dim must be 128-tile-aligned (Mosaic rejects ps=64:
+        # "Slice shape along dimension 4 must be aligned to tiling (128)").
+        and ps % 128 == 0
     )
 
 
@@ -693,7 +697,8 @@ def pallas_paged_decode_attention(
     g2 = qn.shape[2]
 
     if (
-        grouped_supported(B, fold_new, return_stats, W, kv_cache.dtype)
+        grouped_supported(B, fold_new, return_stats, W, kv_cache.dtype,
+                          kv_cache.shape[-2])
         or (force_grouped and fold_new and not return_stats
             and B % SEQ_BLOCK == 0)
     ):

@@ -484,7 +484,7 @@ def _decoder_layer(
             "commit" not in ABLATE and kvs is not None
             and grouped_supported(
                 q.shape[0], True, False, batch.block_tables.shape[1],
-                kv.dtype,
+                kv.dtype, kv.shape[4],
             )
         )
         if fold:

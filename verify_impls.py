@@ -42,12 +42,15 @@ def run_impl(attn_impl: str, quant, kv_dtype: str, prompts, steps: int,
     if quant:
         params = quantize_qwen3_params(params, bits=quant)
     prm = fuse_qwen3_params(params)
-    B, ps, W = len(prompts), 64, 4
+    # ps=128 so batch >= 16 + int8 KV exercises the GROUPED decode kernel
+    # (its scale-plane DMA needs ps % 128 == 0; see grouped_supported)
+    B, ps, W = len(prompts), 128, 2
     P = 1 + B * W
     kv = qwen3.init_kv_cache(cfg, P, ps, jnp.dtype(kv_dtype))
 
     G = qwen3.GROUP
-    T = 256
+    total = sum(-(-len(p) // G) * G for p in prompts)
+    T = max(256, -(-total // 256) * 256)
     tok = np.zeros((T, 4), np.int32)
     tok[:, 2] = -1
     bt = np.zeros((B, W), np.int32)
@@ -118,12 +121,18 @@ def main():
     ap.add_argument("--tol", type=float, default=0.25,
                     help="max |logit delta| (bf16 reordering allowance; "
                     "logit scale is O(10))")
+    ap.add_argument("--batch", type=int, default=4,
+                    help="number of sequences; >= 16 with int8 KV routes "
+                    "decode through the GROUPED manual-DMA kernel "
+                    "(kernels/paged_decode), < 16 the per-page kernel")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
     # lengths straddle page-commit window boundaries (edge cases)
+    lens = [7, 8, 33, 70, 1, 64, 65, 17, 40, 9, 128, 31, 56, 3, 80, 12]
     prompts = [
-        list(map(int, rng.integers(10, 151000, n))) for n in (7, 8, 33, 70)
+        list(map(int, rng.integers(10, 151000, n)))
+        for n in lens[: args.batch]
     ]
     forced = np.random.default_rng(42).integers(
         10, 151000, (args.steps, len(prompts))
