@@ -98,7 +98,8 @@ def scaling_worker(args) -> None:
     nprocs, rank = args.scaling_nprocs, args.scaling_rank
     dp = args.dp
     if nprocs > 1:
-        distributed.initialize(f"127.0.0.1:{args.scaling_port}", nprocs, rank)
+        coord = args.scaling_coordinator or f"127.0.0.1:{args.scaling_port}"
+        distributed.initialize(coord, nprocs, rank)
     mesh = (
         distributed.make_hybrid_mesh(tp=args.tp, dp=dp)
         if dp * args.tp > 1 else None
@@ -134,13 +135,21 @@ def run_scaling(args) -> None:
 
     Measures weak scaling dp=1 -> dp=N where each dp replica is its OWN OS
     process joined via ``jax.distributed`` (Gloo over loopback on CPU — the
-    same runtime a multi-host TPU slice uses, minus the ICI). On CPU this is
-    a harness smoke (CPU "chips" share the machine, so efficiency is not a
-    hardware statement); pointed at N TPU hosts it is the BASELINE config 5
-    measurement, one command:
+    same runtime a multi-host TPU slice uses, minus the ICI).
 
-        # host i of N:  python bench.py --scaling N --scaling-rank i ...
-        # CPU smoke:    python bench.py --scaling 2 --model tiny --cpu
+    This orchestrator spawns ALL N ranks on the LOCAL machine (CPU harness
+    smoke; CPU "chips" share the machine, so efficiency is not a hardware
+    statement). On a real N-host slice, run ONE WORKER PER HOST instead —
+    the BASELINE config 5 measurement:
+
+        # host i of N:
+        python bench.py --scaling-worker --scaling-nprocs N \
+            --scaling-rank i --scaling-coordinator host0:9999 \
+            --dp N --tp <chips/host> --scaling-outdir /tmp/scale
+        # dp=1 baseline (any one host): same, with --scaling-nprocs 1 --dp 1
+        # efficiency = rank0 tok_s / (N x baseline tok_s)
+
+        # CPU smoke (this function): python bench.py --scaling 2 --model tiny --cpu
     """
     import json as _json
     import os
@@ -263,6 +272,10 @@ def main() -> None:
                         help=argparse.SUPPRESS)
     parser.add_argument("--scaling-outdir", default="",
                         help=argparse.SUPPRESS)
+    parser.add_argument("--scaling-coordinator", default=None,
+                        help="HOST:PORT of rank 0's coordinator for "
+                             "multi-host --scaling-worker runs (see "
+                             "run_scaling docstring)")
     args = parser.parse_args()
     if args.tiny:
         args.model = "tiny"

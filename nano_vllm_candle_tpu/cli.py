@@ -42,7 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     p.add_argument("--max-num-seqs", type=int, default=8)
     p.add_argument("--max-model-len", type=int, default=4096)
-    p.add_argument("--kv-blocks", type=int, default=1024)
+    p.add_argument("--kv-blocks", type=int, default=None,
+                   help="KV cache pages (default: a 65536-TOKEN pool, i.e. "
+                        "65536/block-size pages — the pool is pages x "
+                        "block-size tokens, so a fixed page count would "
+                        "quadruple HBM use when the page size grows)")
     p.add_argument("--block-size", type=int, default=256,
                    help="KV page size in tokens (round-3 sweep: 64/128/256 "
                         "within noise at bs8; 256 = fewest grid steps)")
@@ -99,7 +103,9 @@ def main(argv=None) -> int:
 
     engine_config = EngineConfig(
         max_num_seqs=args.max_num_seqs,
-        num_kvcache_blocks=args.kv_blocks,
+        num_kvcache_blocks=args.kv_blocks or max(
+            2, 65536 // args.block_size
+        ),
         kvcache_block_size=args.block_size,
         max_model_len=args.max_model_len,
         tp_size=args.tp,

@@ -166,7 +166,10 @@ class EngineConfig:
     max_num_seqs: int = 8
     max_num_batched_tokens: int = 4096
     # paged KV cache
-    num_kvcache_blocks: int = 512
+    # 256 pages x 256 tokens = the same 65536-token pool (and ~7.5 GB of
+    # bf16 0.6B KV) as the old 512x128 default — the pool scales with
+    # pages x page_size, so page-size changes must rebalance the count.
+    num_kvcache_blocks: int = 256
     kvcache_block_size: int = 256
     max_blocks_per_seq: Optional[int] = None  # default: max_model_len / block_size
     enable_prefix_caching: bool = True

@@ -77,10 +77,28 @@ def apply_collective_overlap_flags() -> None:
     import os
 
     flags = os.environ.get("XLA_FLAGS", "")
-    missing = [f for f in COLLECTIVE_OVERLAP_XLA_FLAGS if f not in flags]
+    # Match on the flag NAME: a user who explicitly set e.g.
+    # `--xla_tpu_enable_latency_hiding_scheduler=false` must not have it
+    # silently re-enabled by an appended (last-wins) `=true` duplicate.
+    missing = [
+        f for f in COLLECTIVE_OVERLAP_XLA_FLAGS
+        if f.split("=", 1)[0] not in flags
+    ]
     if missing:
         os.environ["XLA_FLAGS"] = (flags + " " + " ".join(missing)).strip()
         logger.info("collective-overlap XLA flags applied: %s", missing)
+        try:  # XLA reads the env once, at backend init — warn if too late
+            from jax._src import xla_bridge
+
+            if getattr(xla_bridge, "_backends", None):
+                logger.warning(
+                    "collective-overlap XLA flags were set AFTER the JAX "
+                    "backend initialized; they will NOT take effect in this "
+                    "process. Apply them before the first device use (the "
+                    "bench/CLI entry points do) or export XLA_FLAGS."
+                )
+        except Exception:  # pragma: no cover - private-API probe
+            pass
 
 
 def initialize(

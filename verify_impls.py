@@ -128,11 +128,12 @@ def main():
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
-    # lengths straddle page-commit window boundaries (edge cases)
+    # lengths straddle page-commit window boundaries (edge cases); cycled
+    # when --batch exceeds the list so the requested batch actually runs
     lens = [7, 8, 33, 70, 1, 64, 65, 17, 40, 9, 128, 31, 56, 3, 80, 12]
     prompts = [
-        list(map(int, rng.integers(10, 151000, n)))
-        for n in lens[: args.batch]
+        list(map(int, rng.integers(10, 151000, lens[i % len(lens)])))
+        for i in range(args.batch)
     ]
     forced = np.random.default_rng(42).integers(
         10, 151000, (args.steps, len(prompts))
