@@ -55,12 +55,13 @@ def _scaling_engine(args, mesh, B):
         "0.6b": Qwen3Config.qwen3_0_6b,
         "4b": Qwen3Config.qwen3_4b,
         "8b": Qwen3Config.qwen3_8b,
+        "small": Qwen3Config.small,
         "tiny": Qwen3Config.tiny,
     }[args.model]()
-    tiny = args.model == "tiny"
-    prompt_len = 16 if tiny else args.prompt_len
-    decode_steps = 16 if tiny else args.decode_steps
-    block_size = 16 if tiny else args.block_size
+    cpu_sized = args.model in ("tiny", "small")
+    prompt_len = 16 if cpu_sized else args.prompt_len
+    decode_steps = (16 if args.model == "tiny" else 64) if cpu_sized else args.decode_steps
+    block_size = 16 if cpu_sized else args.block_size
     max_len = prompt_len + decode_steps + block_size
     eng = EngineConfig(
         max_num_seqs=B,
@@ -68,27 +69,35 @@ def _scaling_engine(args, mesh, B):
         num_kvcache_blocks=1 + B * (-(-max_len // block_size)),
         kvcache_block_size=block_size,
         max_model_len=max_len,
-        dtype="float32" if tiny else "bfloat16",
+        dtype="float32" if cpu_sized else "bfloat16",
         enable_prefix_caching=False,
-        use_pallas_kernels=not tiny,
-        attn_impl="xla" if tiny else None,
+        use_pallas_kernels=not cpu_sized,
+        attn_impl="xla" if cpu_sized else None,
         fuse_projections=mesh is None,
     )
     return LLM(config=cfg, engine_config=eng, mesh=mesh), prompt_len, decode_steps
+
+
+#: Per-replica decode batch in the scaling harness (weak scaling: global
+#: batch = N x this).
+SCALING_BATCH_PER_REPLICA = 8
 
 
 def scaling_worker(args) -> None:
     """One process of the scaling measurement (also the dp=1 baseline).
 
     Every rank runs the identical request stream (the SPMD-determinism
-    contract, parallel/distributed.py) and reports global decode tok/s.
+    contract, parallel/distributed.py) and reports global decode tok/s plus
+    a per-step overhead breakdown. The dp=1 baseline runs under the SAME
+    runtime (jax.distributed initialized, 1-device mesh) so the efficiency
+    ratio isolates coordination cost, not code-path differences.
     """
     import json as _json
     import os
 
     import jax
 
-    if args.cpu or args.model == "tiny":
+    if args.cpu or args.model in ("tiny", "small"):
         jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
@@ -97,14 +106,12 @@ def scaling_worker(args) -> None:
 
     nprocs, rank = args.scaling_nprocs, args.scaling_rank
     dp = args.dp
-    if nprocs > 1:
-        coord = args.scaling_coordinator or f"127.0.0.1:{args.scaling_port}"
-        distributed.initialize(coord, nprocs, rank)
-    mesh = (
-        distributed.make_hybrid_mesh(tp=args.tp, dp=dp)
-        if dp * args.tp > 1 else None
-    )
-    B = 4 * dp
+    coord = args.scaling_coordinator or f"127.0.0.1:{args.scaling_port}"
+    # Initialize even for nprocs=1: the baseline must pay the same runtime
+    # (distributed client, global-array device_puts) as the dp=N ranks.
+    distributed.initialize(coord, nprocs, rank)
+    mesh = distributed.make_hybrid_mesh(tp=args.tp, dp=dp)
+    B = SCALING_BATCH_PER_REPLICA * dp
     llm, prompt_len, decode_steps = _scaling_engine(args, mesh, B)
     cfgv = llm.config.vocab_size
     rng = np.random.default_rng(0)
@@ -123,9 +130,13 @@ def scaling_worker(args) -> None:
     t0 = time.perf_counter()
     llm.engine.run_until_done()
     dt = time.perf_counter() - t0
-    tok_s = (llm.engine.metrics["decode_tokens"] - before) / dt
+    n_tokens = llm.engine.metrics["decode_tokens"] - before
+    tok_s = n_tokens / dt
+    n_steps = max(1, n_tokens // B)
     res = {"rank": rank, "nprocs": nprocs, "dp": dp, "tp": args.tp,
-           "batch": B, "tok_s": round(tok_s, 2)}
+           "batch": B, "tok_s": round(tok_s, 2),
+           "step_ms": round(1e3 * dt / n_steps, 3),
+           "decode_steps": int(n_steps)}
     with open(os.path.join(args.scaling_outdir, f"rank{rank}.json"), "w") as f:
         _json.dump(res, f)
 
@@ -135,12 +146,15 @@ def run_scaling(args) -> None:
 
     Measures weak scaling dp=1 -> dp=N where each dp replica is its OWN OS
     process joined via ``jax.distributed`` (Gloo over loopback on CPU — the
-    same runtime a multi-host TPU slice uses, minus the ICI).
+    same runtime a multi-host TPU slice uses, minus the ICI). The workload
+    is sized so per-step compute dominates coordination (``--model small``:
+    ~30M params, batch 8/replica, step >= ~10ms on CPU) — a smoke whose
+    expected value is noise can't catch regressions.
 
     This orchestrator spawns ALL N ranks on the LOCAL machine (CPU harness
-    smoke; CPU "chips" share the machine, so efficiency is not a hardware
-    statement). On a real N-host slice, run ONE WORKER PER HOST instead —
-    the BASELINE config 5 measurement:
+    smoke; CPU "chips" share the machine, so efficiency is a RUNTIME
+    statement, not a hardware one). On a real N-host slice, run ONE WORKER
+    PER HOST instead — the BASELINE config 5 measurement:
 
         # host i of N:
         python bench.py --scaling-worker --scaling-nprocs N \
@@ -149,7 +163,7 @@ def run_scaling(args) -> None:
         # dp=1 baseline (any one host): same, with --scaling-nprocs 1 --dp 1
         # efficiency = rank0 tok_s / (N x baseline tok_s)
 
-        # CPU smoke (this function): python bench.py --scaling 2 --model tiny --cpu
+        # CPU smoke (this function): python bench.py --scaling 2 --model small --cpu
     """
     import json as _json
     import os
@@ -159,69 +173,150 @@ def run_scaling(args) -> None:
 
     N = args.scaling
     outdir = tempfile.mkdtemp(prefix="nvct_scaling_")
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
 
     env_base = dict(os.environ)
     env_base["PYTHONPATH"] = (
         os.path.dirname(os.path.abspath(__file__)) + os.pathsep
         + env_base.get("PYTHONPATH", "")
     )
-    if args.cpu or args.model == "tiny":
+    if args.cpu or args.model in ("tiny", "small"):
         env_base["XLA_FLAGS"] = (
             env_base.get("XLA_FLAGS", "")
             + " --xla_force_host_platform_device_count=1"
         ).strip()
 
-    def spawn(rank, nprocs, dp):
+    # Pin each worker to its own core on the local-machine smoke: Gloo
+    # collectives busy-wait, and an unpinned waiting rank would burn the
+    # core its peer needs for compute — measured 3x step-time inflation on
+    # a 2-core box. On a real multi-host run every rank owns its machine.
+    ncores = os.cpu_count() or 1
+    pin = args.cpu or args.model in ("tiny", "small")
+
+    def spawn(rank, nprocs, dp, port, outsub, cpu_id=None):
         cmd = [
             sys.executable, os.path.abspath(__file__),
             "--scaling-worker", "--scaling-nprocs", str(nprocs),
             "--scaling-rank", str(rank), "--scaling-port", str(port),
-            "--scaling-outdir", outdir, "--dp", str(dp),
+            "--scaling-outdir", outsub, "--dp", str(dp),
             "--tp", str(args.tp), "--model", args.model,
             "--prompt-len", str(args.prompt_len),
             "--decode-steps", str(args.decode_steps),
             "--block-size", str(args.block_size),
         ] + (["--cpu"] if args.cpu else [])
+        if pin and cpu_id is not None:
+            cmd = ["taskset", "-c", str(cpu_id % ncores)] + cmd
         return subprocess.Popen(cmd, env=env_base, stdout=subprocess.PIPE,
                                 stderr=subprocess.STDOUT, text=True)
 
-    # dp=1 single-process baseline.
-    p = spawn(0, 1, 1)
-    out, _ = p.communicate(timeout=1200)
-    assert p.returncode == 0, f"baseline worker failed:\n{out}"
-    base = _json.load(open(os.path.join(outdir, "rank0.json")))
+    def communicate_all(procs, logs):
+        try:
+            for i, pr in enumerate(procs):
+                logs[i] = pr.communicate(timeout=1200)[0]
+        except subprocess.TimeoutExpired:
+            for pr in procs:
+                if pr.poll() is None:
+                    pr.kill()
+                    pr.wait()
+            raise RuntimeError(
+                "scaling round timed out; partial logs:\n" + "\n".join(logs)
+            )
 
-    # dp=N across N processes.
-    procs = [spawn(r, N, N) for r in range(N)]
-    logs = [pr.communicate(timeout=1200)[0] for pr in procs]
-    for pr, log in zip(procs, logs):
-        assert pr.returncode == 0, f"scaling worker failed:\n{log}"
-    multi = _json.load(open(os.path.join(outdir, "rank0.json")))
+    def pick_port():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
 
-    eff = multi["tok_s"] / (N * base["tok_s"])
-    tag = "cpu" if (args.cpu or args.model == "tiny") else "tpu"
+    def run_coordinated(nprocs, dp):
+        """One coordinator round; retries on coordinator-port races (the
+        bind/close pick is TOCTOU — another process can claim the port
+        before rank 0 binds it)."""
+        last_logs = []
+        for _attempt in range(3):
+            port = pick_port()
+            procs = [spawn(r, nprocs, dp, port, outdir, cpu_id=r)
+                     for r in range(nprocs)]
+            logs = [""] * nprocs
+            communicate_all(procs, logs)
+            if all(pr.returncode == 0 for pr in procs):
+                return _json.load(
+                    open(os.path.join(outdir, "rank0.json")))
+            last_logs = [
+                f"rank{i} rc={pr.returncode}:\n{log[-2000:]}"
+                for i, (pr, log) in enumerate(zip(procs, logs))
+                if pr.returncode != 0
+            ]
+            bindy = any("bind" in log.lower() or "address" in log.lower()
+                        for log in logs)
+            if not bindy:
+                break
+        raise RuntimeError(
+            f"scaling workers failed (nprocs={nprocs}):\n"
+            + "\n".join(last_logs)
+        )
+
+    def run_independent_baseline():
+        """N CONCURRENT single-replica processes, no coordination: the
+        weak-scaling baseline that cancels machine contention out of the
+        efficiency ratio on a shared box (N ranks inevitably share cores
+        with each other there; on a real slice each host is dedicated and
+        this baseline equals N x a solo run)."""
+        subs = []
+        procs = []
+        for i in range(N):
+            sub = os.path.join(outdir, f"base{i}")
+            os.makedirs(sub, exist_ok=True)
+            subs.append(sub)
+            procs.append(spawn(0, 1, 1, pick_port(), sub, cpu_id=i))
+        logs = [""] * N
+        communicate_all(procs, logs)
+        for i, (pr, log) in enumerate(zip(procs, logs)):
+            if pr.returncode != 0:
+                raise RuntimeError(
+                    f"baseline worker {i} failed:\n{log[-2000:]}")
+        return [_json.load(open(os.path.join(s, "rank0.json")))
+                for s in subs]
+
+    bases = run_independent_baseline()
+    multi = run_coordinated(N, N)
+
+    base_sum = sum(b["tok_s"] for b in bases)
+    base_step = sum(b["step_ms"] for b in bases) / N
+    eff = multi["tok_s"] / base_sum
+    overhead_ms = multi["step_ms"] - base_step
+    tag = "cpu" if (args.cpu or args.model in ("tiny", "small")) else "tpu"
     result = {
         "metric": f"scaling_efficiency_dp{N}_{N}proc_{tag}_{args.model}",
         "value": round(eff, 4),
         "unit": "fraction",
         "vs_baseline": round(eff, 4),
         "extra": {
-            "dp1_tok_s": base["tok_s"],
+            "baseline_tok_s_sum": round(base_sum, 2),
+            "baseline_step_ms_mean": round(base_step, 3),
             f"dp{N}_tok_s_global": multi["tok_s"],
+            f"dp{N}_step_ms": multi["step_ms"],
+            "coordination_overhead_ms_per_step": round(overhead_ms, 3),
+            "batch_per_replica": SCALING_BATCH_PER_REPLICA,
             "processes": N,
-            "note": ("weak scaling, batch 4/replica; CPU = harness smoke "
-                     "(shared machine), TPU hosts = BASELINE config 5"),
+            "core_pinned": pin,
+            "note": ("weak scaling vs N concurrent INDEPENDENT replicas "
+                     "(same runtime, no coordination) — the ratio isolates "
+                     "the distributed runtime's coordination cost; on a "
+                     "real N-host slice each worker owns its host "
+                     "(BASELINE config 5)"),
         },
     }
     print(json.dumps(result))
+    floor = args.scaling_floor
+    if eff < floor:
+        print(f"# FAIL: scaling efficiency {eff:.3f} < floor {floor} "
+              "(regression gate)", file=sys.stderr)
+        sys.exit(1)
 
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model", default="0.6b", choices=["0.6b", "4b", "8b", "tiny"])
+    parser.add_argument("--model", default="0.6b",
+                        choices=["0.6b", "4b", "8b", "small", "tiny"])
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--prompt-len", type=int, default=128)
     parser.add_argument("--decode-steps", type=int, default=128)
@@ -262,6 +357,9 @@ def main() -> None:
                         help="measure dp=1 vs dp=N across N OS processes "
                              "(jax.distributed); prints a scaling-efficiency "
                              "JSON line")
+    parser.add_argument("--scaling-floor", type=float, default=0.6,
+                        help="fail (exit 1) when measured scaling efficiency "
+                             "is below this — the regression gate")
     parser.add_argument("--scaling-worker", action="store_true",
                         help=argparse.SUPPRESS)
     parser.add_argument("--scaling-nprocs", type=int, default=1,
@@ -294,7 +392,7 @@ def main() -> None:
 
     import jax
 
-    if args.cpu or args.model == "tiny":
+    if args.cpu or args.model in ("tiny", "small"):
         jax.config.update("jax_platforms", "cpu")
 
     # Fire the one-time tunneled-device D2H handshake NOW so it overlaps
@@ -319,6 +417,7 @@ def main() -> None:
         "0.6b": Qwen3Config.qwen3_0_6b,
         "4b": Qwen3Config.qwen3_4b,
         "8b": Qwen3Config.qwen3_8b,
+        "small": Qwen3Config.small,
         "tiny": Qwen3Config.tiny,
     }[args.model]()
 

@@ -40,9 +40,29 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["error", "warn", "info", "debug", "trace"])
     p.add_argument("-d", "--device", default="tpu", choices=["tpu", "cpu"])
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel size (shards request slots over the "
+                        "mesh's dp axis; crosses hosts in multi-process runs)")
+    # Multi-host serving (SURVEY.md §5.8): one CLI process per host, all
+    # pointed at rank 0's coordinator — the same jax.distributed runtime the
+    # scaling harness uses (bench.py --scaling-worker), now reachable from
+    # the production entry point.
+    p.add_argument("--nprocs", type=int, default=1,
+                   help="total processes (hosts) in the serving job")
+    p.add_argument("--rank", type=int, default=0,
+                   help="this process's rank in [0, nprocs)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="rank 0's coordinator address (required when "
+                        "nprocs > 1)")
     p.add_argument("--max-num-seqs", type=int, default=8)
     p.add_argument("--max-model-len", type=int, default=4096)
-    p.add_argument("--kv-blocks", type=int, default=None,
+    def _positive_int(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError(f"must be >= 1, got {n}")
+        return n
+
+    p.add_argument("--kv-blocks", type=_positive_int, default=None,
                    help="KV cache pages (default: a 65536-TOKEN pool, i.e. "
                         "65536/block-size pages — the pool is pages x "
                         "block-size tokens, so a fixed page count would "
@@ -67,9 +87,18 @@ def main(argv=None) -> int:
     logging.basicConfig(level=level, format="%(asctime)s %(levelname)s %(name)s: %(message)s")
     logger = logging.getLogger("nano_vllm_candle_tpu.cli")
 
-    if args.tp > 1:
+    if args.nprocs > 1 and not args.coordinator:
+        print("error: --nprocs > 1 requires --coordinator HOST:PORT",
+              file=sys.stderr)
+        return 2
+    if not (0 <= args.rank < args.nprocs):
+        print(f"error: --rank {args.rank} outside [0, {args.nprocs})",
+              file=sys.stderr)
+        return 2
+
+    if args.tp * args.dp > 1:
         # Before first backend use: async-collective fusion + latency-hiding
-        # scheduler so tp collectives overlap compute (SURVEY.md §5.8).
+        # scheduler so tp/dp collectives overlap compute (SURVEY.md §5.8).
         from nano_vllm_candle_tpu.parallel.distributed import (
             apply_collective_overlap_flags,
         )
@@ -81,9 +110,19 @@ def main(argv=None) -> int:
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    if args.nprocs > 1:
+        # Join the multi-host process group BEFORE any device use: after
+        # this, jax.devices() spans the whole job and the hybrid mesh below
+        # can lay dp across the process (DCN) boundary. Every rank must be
+        # launched with identical engine flags (SPMD determinism contract,
+        # parallel/distributed.py).
+        from nano_vllm_candle_tpu.parallel import distributed
+
+        distributed.initialize(args.coordinator, args.nprocs, args.rank)
+
     from nano_vllm_candle_tpu.config import EngineConfig, Qwen3Config
     from nano_vllm_candle_tpu.llm import LLM
-    from nano_vllm_candle_tpu.parallel.mesh import make_mesh
+    from nano_vllm_candle_tpu.parallel.distributed import make_hybrid_mesh
     from nano_vllm_candle_tpu.sampling_params import SamplingParams
     from nano_vllm_candle_tpu.utils.tokenizer import apply_chat_template, load_tokenizer
 
@@ -103,17 +142,22 @@ def main(argv=None) -> int:
 
     engine_config = EngineConfig(
         max_num_seqs=args.max_num_seqs,
-        num_kvcache_blocks=args.kv_blocks or max(
-            2, 65536 // args.block_size
+        num_kvcache_blocks=(
+            args.kv_blocks if args.kv_blocks is not None
+            else max(2, 65536 // args.block_size)
         ),
         kvcache_block_size=args.block_size,
         max_model_len=args.max_model_len,
         tp_size=args.tp,
+        dp_size=args.dp,
         quantization=args.quantization,
         kv_cache_dtype=args.kv_cache_dtype or "bfloat16",
         max_top_k=max(args.max_top_k, args.top_k),
     )
-    mesh = make_mesh(tp=args.tp) if args.tp > 1 else None
+    mesh = (
+        make_hybrid_mesh(tp=args.tp, dp=args.dp)
+        if args.tp * args.dp > 1 else None
+    )
 
     logger.info("loading model (model=%s preset=%s tp=%d)", args.model, args.preset, args.tp)
     t0 = time.perf_counter()

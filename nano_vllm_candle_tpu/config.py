@@ -128,6 +128,27 @@ class Qwen3Config:
         )
 
     @classmethod
+    def small(cls) -> "Qwen3Config":
+        """A ~30M-parameter model-shaped config for scaling smokes: big
+        enough that a CPU decode step costs ~10ms (so per-step compute
+        dominates Gloo coordination in multi-process CPU runs — the
+        property that makes a measured scaling efficiency meaningful),
+        small enough to init in seconds."""
+        return cls(
+            vocab_size=4096,
+            hidden_size=512,
+            intermediate_size=1536,
+            num_hidden_layers=8,
+            num_attention_heads=8,
+            num_key_value_heads=4,
+            head_dim=64,
+            max_position_embeddings=2048,
+            tie_word_embeddings=True,
+            bos_token_id=1,
+            eos_token_id=2,
+        )
+
+    @classmethod
     def tiny(cls, vocab_size: int = 256) -> "Qwen3Config":
         """A tiny config for tests (model-shaped, runs anywhere in ms)."""
         return cls(

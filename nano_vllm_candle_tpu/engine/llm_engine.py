@@ -75,10 +75,24 @@ class StepOutput:
 
 
 class LLMEngine:
-    def __init__(self, scheduler: Scheduler, model_runner: ModelRunner) -> None:
+    def __init__(
+        self,
+        scheduler: Scheduler,
+        model_runner: ModelRunner,
+        max_top_k: Optional[int] = None,
+    ) -> None:
         logger.info("LLMEngine::new")
         self.scheduler = scheduler
         self.model_runner = model_runner
+        # Admission bound for top_k (see add_request). Explicit arg wins;
+        # else read the runner's engine_config. A runner with neither gets
+        # one warning instead of a silently-skipped check (a non-standard
+        # runner may truncate top_k on device without ever telling the user).
+        if max_top_k is None:
+            eng = getattr(model_runner, "engine_config", None)
+            max_top_k = getattr(eng, "max_top_k", None)
+        self.max_top_k = max_top_k
+        self._warned_no_top_k_bound = False
         # observability (SURVEY.md §5.5): rolling per-step metrics
         self.metrics: Dict[str, float] = {
             "steps": 0,
@@ -97,14 +111,20 @@ class LLMEngine:
         # (EngineConfig.max_top_k / ops.sampling._apply_top_k); a request
         # beyond it would be SILENTLY truncated, so reject it at the
         # boundary instead.
-        eng = getattr(self.model_runner, "engine_config", None)
-        max_top_k = getattr(eng, "max_top_k", None)
-        if max_top_k is not None and sampling_params.top_k > max_top_k:
+        if self.max_top_k is not None and sampling_params.top_k > self.max_top_k:
             raise ValueError(
                 f"top_k={sampling_params.top_k} exceeds the engine's "
-                f"compiled bound max_top_k={max_top_k} "
+                f"compiled bound max_top_k={self.max_top_k} "
                 "(raise EngineConfig.max_top_k to allow it)"
             )
+        if (self.max_top_k is None and sampling_params.top_k > 0
+                and not self._warned_no_top_k_bound):
+            logger.warning(
+                "model runner exposes no engine_config.max_top_k; top_k "
+                "requests cannot be validated against the compiled bound "
+                "(pass max_top_k= to LLMEngine to enable the check)"
+            )
+            self._warned_no_top_k_bound = True
         seq = Sequence(token_ids, sampling_params)
         logger.debug(
             "LLMEngine::add_request seq_id=%d prompt_len=%d max_tokens=%d",

@@ -158,6 +158,113 @@ def pallas_commit_groups(
     return res[0], None
 
 
+def _rows_all_kernel(pages_ref, row8_ref, rowin_ref,
+                     rows_ref, win_in, *rest, quantized: bool):
+    """Grid ``(L, B)``: insert layer ``l`` / slot ``b``'s current-token row
+    into its 8-row window (RMW). Same math as ``_row_kernel`` with the
+    layer coming from the grid instead of a scalar arg."""
+    if quantized:
+        swin_in, win_out, swin_out = rest
+    else:
+        (win_out,) = rest
+    b = pl.program_id(1)
+    rowin = rowin_ref[b]
+    _, _, _, nkv, G, hd = win_in.shape
+    win = win_in[0, 0]  # [2, nkv, 8, hd]
+    rows = rows_ref[...]  # [1, 1, 2, nkv, hd]
+    if quantized:
+        rf = rows[0, 0].astype(jnp.float32)  # [2, nkv, hd]
+        amax = jnp.max(jnp.abs(rf), axis=-1)  # [2, nkv]
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        qrow = jnp.clip(jnp.round(rf / scale[..., None]), -127, 127)
+        ins = qrow.astype(win.dtype)
+        plane = swin_in[0, 0]  # [2, nkv, ps]
+        ps_s = plane.shape[-1]
+        scol = row8_ref[b] * G + rowin
+        col = jax.lax.broadcasted_iota(jnp.int32, (2, nkv, ps_s), 2)
+        swin_out[0, 0] = jnp.where(col == scol, scale[..., None], plane)
+    else:
+        ins = rows[0, 0].astype(win.dtype)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (2, nkv, G, hd), 2)
+    win_out[0, 0] = jnp.where(ridx == rowin, ins[:, :, None, :], win)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_rows_commit_all(
+    kv_cache: jax.Array,  # [L, P, 2, nkv, ps, hd]
+    rows: jax.Array,  # [L, B, 2, nkv, hd] all layers' current-token rows
+    slot_mapping: jax.Array,  # [B] int32 flat slot (page*ps + off)
+    kv_scale: Optional[jax.Array] = None,  # [L, P, 2, nkv, ps] f32
+    *,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Commit EVERY layer's decode rows in one call (grid ``(L, B)``) —
+    the deferred end-of-step commit replacing L per-layer
+    ``pallas_row_commit`` dispatches. Each (layer, slot) grid step RMWs the
+    slot's 8-row window; INT8 caches quantize the row in-kernel and update
+    the scale stripe the same way. Inactive slots target the null page 0."""
+    L, P, _, nkv, ps, hd = kv_cache.shape
+    B = slot_mapping.shape[0]
+    G = GROUP
+    quantized = kv_scale is not None
+    slot = slot_mapping.astype(jnp.int32)
+    pages = slot // ps
+    row8 = (slot % ps) // G
+    rowin = slot % G
+
+    def rows_map(l, b, *_):
+        return (l, b, 0, 0, 0)
+
+    def win_map(l, b, pages_ref, row8_ref, rowin_ref):
+        return (l, pages_ref[b], 0, 0, row8_ref[b], 0)
+
+    def swin_map(l, b, pages_ref, row8_ref, rowin_ref):
+        return (l, pages_ref[b], 0, 0, 0)
+
+    win_spec = pl.BlockSpec((1, 1, 2, nkv, G, hd), win_map)
+    in_specs = [
+        pl.BlockSpec((1, 1, 2, nkv, hd), rows_map),
+        win_spec,  # RMW read of the target window (from the aliased buffer)
+    ]
+    operands = [rows, kv_cache]
+    out_specs = [win_spec]
+    out_shapes = [jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype)]
+    if quantized:
+        swin_spec = pl.BlockSpec((1, 1, 2, nkv, ps), swin_map)
+        in_specs.append(swin_spec)
+        operands.append(kv_scale)
+        out_specs.append(swin_spec)
+        out_shapes.append(jax.ShapeDtypeStruct(kv_scale.shape, kv_scale.dtype))
+
+    n_prefetch = 3
+    input_output_aliases = {n_prefetch + 1: 0}
+    if quantized:
+        input_output_aliases[n_prefetch + 2] = 1
+    res = pl.pallas_call(
+        functools.partial(_rows_all_kernel, quantized=quantized),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_prefetch,
+            grid=(L, B),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+        ),
+        out_shape=tuple(out_shapes),
+        input_output_aliases=input_output_aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        pages,
+        row8,
+        rowin,
+        *operands,
+    )
+    if quantized:
+        return res[0], res[1]
+    return res[0], None
+
+
 def _row_kernel(li_ref, pages_ref, row8_ref, rowin_ref,
                 rows_ref, win_in, *rest, quantized: bool):
     if quantized:

@@ -696,11 +696,29 @@ def pallas_paged_decode_attention(
     li = jnp.asarray(layer_index, jnp.int32).reshape(1)
     g2 = qn.shape[2]
 
+    if force_grouped:
+        # The flag bypasses only the PERF heuristics (kv dtype, batch
+        # size); the constraints below are Mosaic-legality — a forced call
+        # violating them would die at compile time on real TPU with an
+        # obscure layout error, so fail loudly here instead. Interpret mode
+        # has no Mosaic tiling rules, so tests may keep exercising small
+        # shapes there.
+        if not (fold_new and not return_stats and B % SEQ_BLOCK == 0):
+            raise ValueError(
+                "force_grouped needs fold_new (new_k/new_v), "
+                f"return_stats=False and B % {SEQ_BLOCK} == 0 (got B={B})"
+            )
+        ps_ = kv_cache.shape[-2]
+        if not interpret and (W > MAX_GROUPED_W or ps_ % 128 != 0):
+            raise ValueError(
+                f"force_grouped structural limits on TPU: W={W} must be <= "
+                f"{MAX_GROUPED_W} and page_size={ps_} a multiple of 128 "
+                "(the scale-plane DMA's minor-dim tiling)"
+            )
     if (
         grouped_supported(B, fold_new, return_stats, W, kv_cache.dtype,
                           kv_cache.shape[-2])
-        or (force_grouped and fold_new and not return_stats
-            and B % SEQ_BLOCK == 0)
+        or force_grouped
     ):
         return _grouped_call(
             qn, kv_cache, kv_scale, li, seq_lens, block_tables, scale,

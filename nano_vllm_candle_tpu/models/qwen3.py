@@ -264,9 +264,38 @@ def _write_kv(
 # an expensive per-index RMW scatter (~0.6 ms/step measured at bs16).
 # Prefill commits aligned GROUP(=8)-row windows (the stream is padded per
 # sequence, partial tails garbage-padded inside the sequence's own page and
-# masked by seq_len); decode commits one row per slot via an 8-row
-# read-modify-write window (kernels/kv_commit.pallas_row_commit).
+# masked by seq_len). Decode DEFERS all layers' current-token rows to ONE
+# end-of-step commit (kernels/kv_commit.pallas_rows_commit_all): attention
+# folds the current token from registers, so a row is only needed by the
+# NEXT step's attention — per-layer commits were 28 pallas calls/step of
+# near-pure dispatch overhead (and, under a dp mesh, 28 per-layer
+# all-gathers of the update rows).
 # --------------------------------------------------------------------------
+
+
+def _write_kv_all_layers(
+    kv: jax.Array,  # [L, P, 2, nkv, ps, hd] full stacked combined cache
+    kvs: Optional[jax.Array],  # [L, P, 2, nkv, ps] or None
+    rows: jax.Array,  # [L, B, 2, nkv, hd] every layer's current-token rows
+    slot_mapping: jax.Array,  # [B] flat slots (page*page_size + offset)
+):
+    """One scatter committing EVERY layer's decode rows (the XLA twin of
+    ``kernels/kv_commit.pallas_rows_commit_all``). Padding slots live in
+    the null page 0, so the scatter is unconditional."""
+    L, P, _, nkv, ps, hd = kv.shape
+    layers = jnp.arange(L, dtype=jnp.int32)[:, None, None, None]  # [L,1,1,1]
+    pages = (slot_mapping // ps)[None, :, None, None]  # [1,B,1,1]
+    offs = (slot_mapping % ps)[None, :, None, None]
+    sel = jnp.arange(2, dtype=jnp.int32)[None, None, :, None]
+    heads = jnp.arange(nkv, dtype=jnp.int32)[None, None, None, :]
+    if kvs is not None:
+        qrows, scales = _quantize_kv(rows)  # scales [L, B, 2, nkv]
+        kvs = kvs.at[layers, pages, sel, heads, offs].set(scales, mode="drop")
+        rows = qrows
+    kv = kv.at[layers, pages, sel, heads, offs].set(
+        rows.astype(kv.dtype), mode="drop"
+    )
+    return kv, kvs
 
 
 def _commit_prefill_groups(kv, kvs, k, v, slot_mapping, seg_ids, li, ps,
@@ -327,7 +356,15 @@ def _decoder_layer(
     mesh=None,
 ):
     """One decoder layer with the reference's residual-threading contract
-    (``qwen3.rs:374-399``)."""
+    (``qwen3.rs:374-399``).
+
+    Returns ``(hidden, residual, kv, kvs, rows)``. In decode mode ``rows``
+    is the layer's current-token ``[B, 2, nkv, hd]`` k/v rows (activation
+    dtype), committed ONCE for all layers at the end of the step by
+    ``forward`` — attention folds the current token from registers, so the
+    page write is only needed before the NEXT step's attention. Prefill
+    (and the FOLD_COMMIT experiment, which commits inside the attention
+    kernel) returns ``rows=None``."""
     from nano_vllm_candle_tpu.kernels import interpret_default
 
     c = config
@@ -392,6 +429,7 @@ def _decoder_layer(
         q, k = apply_rope_positions(q, k, batch.positions, c.rope_theta)
 
     ps = kv.shape[4]
+    rows = None  # decode: current-token k/v rows for the deferred commit
 
     if mode == "prefill":
         chunked = batch.prefix_len is not None
@@ -455,31 +493,32 @@ def _decoder_layer(
     elif islands:
         from nano_vllm_candle_tpu.parallel.spmd import sharded_decode_attention
 
-        attn_out, kv, kvs = sharded_decode_attention(
+        attn_out = sharded_decode_attention(
             mesh, q, kv, kvs, batch.block_tables, batch.seq_lens, scale,
-            k, v, li, batch.slot_mapping, interpret=interp,
+            k, v, li, interpret=interp,
         )
         attn_out = attn_out.astype(hidden.dtype)
+        rows = jnp.stack([k, v], axis=1)  # [B, 2, nkv, hd]
     elif attn_impl == "pallas":
         # Attention over pages [0, n-1) with the current token's k/v folded
-        # in-kernel from registers; the page commit happens AFTER attention
-        # (kernels/paged_decode.py docstring), so no staging structure.
+        # in-kernel from registers; the page commit is deferred to ONE
+        # all-layer call at the end of the step (forward), so no staging
+        # structure and no per-layer commit dispatch.
         n = batch.seq_lens  # includes the current token; 0 = inactive slot
         from nano_vllm_candle_tpu.kernels.paged_decode import (
             grouped_supported,
             pallas_paged_decode_attention,
             pallas_paged_decode_commit,
         )
-        from nano_vllm_candle_tpu.kernels.kv_commit import pallas_row_commit
 
         # Commit fusion is DISABLED by default: fusing the row commit into
         # the grouped attention kernel (pallas_paged_decode_commit) measured
         # 13.2k vs 14.5k tok/s at int4+int8KV bs64 — the in-kernel RMW tail
         # (per-sequence dynamic-slot window reads + serialized write-DMA
-        # waits) costs more than the 0.57 ms/step separate row-commit grid
-        # it replaces, and it delays the cross-group page prefetch. Kept as
-        # a tested kernel (test_fold_commit_matches_attention_plus_row_commit)
-        # for future revisit with a stash-early structure.
+        # waits) costs more than the separate commit it replaces, and it
+        # delays the cross-group page prefetch. Kept as a tested kernel
+        # (test_fold_commit_matches_attention_plus_row_commit); the shipped
+        # design is the END-OF-STEP all-layer commit instead.
         fold = FOLD_COMMIT and (
             "commit" not in ABLATE and kvs is not None
             and grouped_supported(
@@ -501,17 +540,12 @@ def _decoder_layer(
                 q, kv, batch.block_tables, n, scale, k, v,
                 kv_scale=kvs, layer_index=li, interpret=interp,
             ).astype(hidden.dtype)
-            if "commit" not in ABLATE:
-                kv, kvs = pallas_row_commit(
-                    kv, k, v, li, batch.slot_mapping, kv_scale=kvs,
-                    interpret=interp,
-                )
+            rows = jnp.stack([k, v], axis=1)
     else:
-        # XLA twin (CPU tests / numerics reference): commit the current row
-        # first, then attend over the cache including it. Under int8 KV the
-        # twin reads the current row back quantized where the Pallas path
-        # folds it exactly — the Pallas path is strictly more accurate.
-        kv, kvs = _write_kv(kv, kvs, k, v, batch.slot_mapping, li)
+        # XLA twin (CPU tests / numerics reference): attention over pages
+        # [0, n-1) with the current token's row folded exactly (same
+        # contract as the Pallas kernels); the commit is deferred to the
+        # end-of-step all-layer scatter (_write_kv_all_layers).
         kv_l = jax.lax.dynamic_index_in_dim(kv, li, 0, keepdims=False)
         kvs_l = (
             jax.lax.dynamic_index_in_dim(kvs, li, 0, keepdims=False)
@@ -519,8 +553,9 @@ def _decoder_layer(
         )
         attn_out = paged_decode_attention(
             q, kv_l, batch.block_tables, batch.seq_lens, scale,
-            kv_scale=kvs_l,
+            kv_scale=kvs_l, new_k=k, new_v=v,
         )
+        rows = jnp.stack([k, v], axis=1)
 
     # Row-parallel o_proj (all-reduce inserted by GSPMD under TP)
     hidden = pmm(attn_out.reshape(T, c.q_size), "o_proj")
@@ -537,7 +572,7 @@ def _decoder_layer(
         gate = pmm(normed, "gate_proj")
         up = pmm(normed, "up_proj")
         hidden = pmm(jax.nn.silu(gate) * up, "down_proj")
-    return hidden, residual, kv, kvs
+    return hidden, residual, kv, kvs, rows
 
 
 def forward(
@@ -589,17 +624,45 @@ def forward(
     def layer_fn(carry, xs):
         h, r, kv, kvs = carry
         lp, li = xs
-        h, r, kv, kvs = _decoder_layer(
+        h, r, kv, kvs, rows = _decoder_layer(
             h, r, lp, quant_layers, li, kv, kvs,
             batch, c, mode, attn_impl, mesh,
         )
-        return (h, r, kv, kvs), None
+        return (h, r, kv, kvs), rows
 
-    (hidden, residual, new_kv, new_kvs), _ = jax.lax.scan(
+    (hidden, residual, new_kv, new_kvs), all_rows = jax.lax.scan(
         layer_fn,
         (hidden, residual, kv_cache.kv, kv_cache.kv_scale),
         (xs_layers, jnp.arange(L, dtype=jnp.int32)),
     )
+
+    if all_rows is not None and "commit" not in ABLATE:
+        # Deferred decode commit: ONE call writes every layer's current-token
+        # rows ([L, B, 2, nkv, hd] scan ys) into the pages — replacing L
+        # per-layer commit dispatches (and, under a dp mesh, L per-layer
+        # all-gathers of the update rows with a single one).
+        if mesh is not None and attn_impl == "pallas":
+            from nano_vllm_candle_tpu.parallel.spmd import sharded_commit_rows
+            from nano_vllm_candle_tpu.kernels import interpret_default
+
+            new_kv, new_kvs = sharded_commit_rows(
+                mesh, new_kv, new_kvs, all_rows, batch.slot_mapping,
+                interpret=interpret_default(),
+            )
+        elif attn_impl == "pallas":
+            from nano_vllm_candle_tpu.kernels.kv_commit import (
+                pallas_rows_commit_all,
+            )
+            from nano_vllm_candle_tpu.kernels import interpret_default
+
+            new_kv, new_kvs = pallas_rows_commit_all(
+                new_kv, all_rows, batch.slot_mapping, kv_scale=new_kvs,
+                interpret=interpret_default(),
+            )
+        else:
+            new_kv, new_kvs = _write_kv_all_layers(
+                new_kv, new_kvs, all_rows, batch.slot_mapping
+            )
 
     hidden, _ = rms_norm(hidden, params["norm"], c.rms_norm_eps, residual)
 

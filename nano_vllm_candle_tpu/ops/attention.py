@@ -111,6 +111,8 @@ def paged_decode_attention(
     scale: float,
     kv_scale: jax.Array | None = None,
     return_stats: bool = False,
+    new_k: jax.Array | None = None,
+    new_v: jax.Array | None = None,
 ):
     """One-token-per-sequence attention against the paged KV cache.
 
@@ -120,12 +122,18 @@ def paged_decode_attention(
         (combined head-major pages; see ``models/qwen3.KVCache``).
       block_tables: ``[B, max_blocks_per_seq]`` int32 physical page ids
         (entries past the sequence's pages may be arbitrary valid ids).
-      seq_lens: ``[B]`` int32 — tokens in context *including* the new token
-        (whose k/v must already be written to the cache).
+      seq_lens: ``[B]`` int32 — tokens in context *including* the new token.
       scale: softmax scale.
       kv_scale: ``[num_pages, 2, num_kv_heads, page_size]`` per-vector
         dequant scales for INT8 caches (None = unquantized); head-major,
         see ``models/qwen3.KVCache``.
+      new_k/new_v: ``[B, num_kv_heads, head_dim]`` — the current token's
+        k/v rows, FOLDED into the attention instead of being read back from
+        the cache. With fold, pages only need tokens ``[0, seq_lens - 1)``
+        and the page commit may be deferred past the attention (the Pallas
+        kernels' contract, ``kernels/paged_decode.py``); without, the
+        current row must already be committed. Folding is also exact under
+        INT8 caches (the row never round-trips through quantization).
 
     Returns:
       ``[B, num_q_heads, head_dim]``.
@@ -134,6 +142,7 @@ def paged_decode_attention(
     _, _, nkv, page_size, _ = kv_cache.shape
     g = nq // nkv
     W = block_tables.shape[1]
+    fold = new_k is not None
 
     # Gather each sequence's pages: [B, W, 2, nkv, page_size, hd]
     kv = jnp.take(kv_cache, block_tables, axis=0)
@@ -155,8 +164,16 @@ def paged_decode_attention(
         compute_dtype = q.dtype if q.dtype != jnp.int8 else jnp.bfloat16
         k = k.astype(compute_dtype)
         v = v.astype(compute_dtype)
+        if fold:
+            # The folded row is exact: scale 1.0 slots in the score/weight
+            # scale vectors.
+            ks = jnp.concatenate([ks, jnp.ones((B, nkv, 1), ks.dtype)], -1)
+            vs = jnp.concatenate([vs, jnp.ones((B, nkv, 1), vs.dtype)], -1)
     k = jnp.swapaxes(k, 1, 2).reshape(B, nkv, S, hd)
     v = jnp.swapaxes(v, 1, 2).reshape(B, nkv, S, hd)
+    if fold:
+        k = jnp.concatenate([k, new_k.astype(k.dtype)[:, :, None]], axis=2)
+        v = jnp.concatenate([v, new_v.astype(v.dtype)[:, :, None]], axis=2)
 
     qg = q.reshape(B, nkv, g, hd)
     scores = jnp.einsum(
@@ -165,8 +182,15 @@ def paged_decode_attention(
     if ks is not None:
         scores = scores * ks[:, :, None, :]
 
-    token_idx = jnp.arange(S, dtype=jnp.int32)
-    mask = token_idx[None, :] < seq_lens[:, None]  # [B, S]
+    token_idx = jnp.arange(S + int(fold), dtype=jnp.int32)
+    if fold:
+        # Pages cover [0, n-1); slot S holds the current (folded) token,
+        # valid exactly for active rows (n > 0).
+        mask = (token_idx[None, :] < seq_lens[:, None] - 1) | (
+            (token_idx[None, :] == S) & (seq_lens[:, None] > 0)
+        )
+    else:
+        mask = token_idx[None, :] < seq_lens[:, None]  # [B, S]
     scores = jnp.where(mask[:, None, None, :], scores, MASK_VALUE)
 
     if return_stats:

@@ -115,7 +115,7 @@ def sharded_matmul(
 
 
 # --------------------------------------------------------------------------
-# Decode island: paged attention + row commit in one region
+# Decode islands: paged attention; all-layer deferred commit
 # --------------------------------------------------------------------------
 
 
@@ -130,36 +130,23 @@ def sharded_decode_attention(
     k: jax.Array,  # [B, nkv, hd] current-token rows
     v: jax.Array,
     li: jax.Array,
-    slot_mapping: jax.Array,  # [B]
     *,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
-    """Attention (current token folded in-kernel) then the page commit, one
-    island so the aliased cache never crosses a partitioning boundary
-    between them. Returns ``(attn_out [B, nq, hd], kv, kvs)``."""
-    from nano_vllm_candle_tpu.kernels.kv_commit import pallas_row_commit
+) -> jax.Array:
+    """Paged decode attention (current token folded in-kernel), read-only on
+    the cache — the page write is deferred to the end-of-step
+    ``sharded_commit_rows`` island. Returns ``attn_out [B, nq, hd]``."""
     from nano_vllm_candle_tpu.kernels.paged_decode import (
         pallas_paged_decode_attention,
     )
 
-    dp = mesh.shape["dp"]
     quant = kvs is not None
 
-    def body(q, kv, kvs, bt, n, k, v, li, slot):
-        out = pallas_paged_decode_attention(
+    def body(q, kv, kvs, bt, n, k, v, li):
+        return pallas_paged_decode_attention(
             q, kv, bt, n, scale, k, v,
             kv_scale=kvs, layer_index=li, interpret=interpret,
         )
-        if dp > 1:
-            # The cache is dp-replicated: every dp row must commit ALL
-            # slots' rows (a few KB) to keep the replicas identical.
-            k = jax.lax.all_gather(k, "dp", axis=0, tiled=True)
-            v = jax.lax.all_gather(v, "dp", axis=0, tiled=True)
-            slot = jax.lax.all_gather(slot, "dp", axis=0, tiled=True)
-        kv, kvs = pallas_row_commit(
-            kv, k, v, li, slot, kv_scale=kvs, interpret=interpret
-        )
-        return out, kv, kvs
 
     in_specs = (
         P("dp", "tp", None),  # q
@@ -170,12 +157,48 @@ def sharded_decode_attention(
         P("dp", "tp", None),  # k
         P("dp", "tp", None),  # v
         P(),  # layer index
+    )
+    return _smap(body, mesh, in_specs, P("dp", "tp", None))(
+        q, kv, kvs, block_tables, seq_lens, k, v, li
+    )
+
+
+def sharded_commit_rows(
+    mesh: Mesh,
+    kv: jax.Array,  # [L, P, 2, nkv, ps, hd]
+    kvs: Optional[jax.Array],  # [L, P, 2, nkv, ps] f32 or None
+    rows: jax.Array,  # [L, B, 2, nkv, hd] all layers' current-token rows
+    slot_mapping: jax.Array,  # [B]
+    *,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """End-of-step all-layer page commit. The cache is dp-replicated
+    (sharded only on tp): every dp row must perform the identical commit of
+    ALL slots' rows, so the (tiny) dp-sharded rows are all-gathered ONCE
+    here — replacing the per-layer all-gathers the old per-layer commit
+    design paid L times per step."""
+    from nano_vllm_candle_tpu.kernels.kv_commit import pallas_rows_commit_all
+
+    dp = mesh.shape["dp"]
+    quant = kvs is not None
+
+    def body(kv, kvs, rows, slot):
+        if dp > 1:
+            rows = jax.lax.all_gather(rows, "dp", axis=1, tiled=True)
+            slot = jax.lax.all_gather(slot, "dp", axis=0, tiled=True)
+        kv, kvs = pallas_rows_commit_all(
+            kv, rows, slot, kv_scale=kvs, interpret=interpret
+        )
+        return kv, kvs
+
+    in_specs = (
+        KV_SPEC,
+        KVS_SPEC if quant else P(),
+        P(None, "dp", None, "tp", None),  # rows
         P("dp"),  # slot_mapping
     )
-    out_specs = (P("dp", "tp", None), KV_SPEC, KVS_SPEC if quant else P())
-    return _smap(body, mesh, in_specs, out_specs)(
-        q, kv, kvs, block_tables, seq_lens, k, v, li, slot_mapping
-    )
+    out_specs = (KV_SPEC, KVS_SPEC if quant else P())
+    return _smap(body, mesh, in_specs, out_specs)(kv, kvs, rows, slot_mapping)
 
 
 # --------------------------------------------------------------------------

@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--fuse", action="store_true",
                     help="fuse qkv / gate_up stacks (fuse_qwen3_params)")
     ap.add_argument("--quantization", choices=["int8", "int4"])
+    ap.add_argument("--kv-cache-dtype", default="bfloat16",
+                    choices=["bfloat16", "int8"])
     args = ap.parse_args()
     if args.ablate:
         qwen3.ABLATE = frozenset(args.ablate.split(","))
@@ -107,9 +109,11 @@ def main():
             return kv, tok
         return run
 
+    kv_dtype = jnp.int8 if args.kv_cache_dtype == "int8" else jnp.bfloat16
+
     def bench(run, label, reps=5):
         print(f"# compiling {label} ...", flush=True)
-        kv = qwen3.init_kv_cache(cfg, P, ps, jnp.bfloat16)
+        kv = qwen3.init_kv_cache(cfg, P, ps, kv_dtype)
         tok = jnp.zeros((B,), jnp.int32)
         kv, t = run(params, bt, start_len, kv, tok)
         np.asarray(t)  # force round trip

@@ -33,6 +33,59 @@ def parse_xplane(xplane_path: str, top: int = 25) -> None:
         print(f"{ms:9.3f} ms  {100*ms/tot:5.1f}%  {name[:110]}")
 
 
+def parse_gaps(xplane_path: str, top: int = 20, min_gap_us: float = 2.0) -> None:
+    """Busy-vs-span per device trace line + the top idle gaps between ops.
+
+    The op-duration totals above systematically understate wall time when
+    the device idles BETWEEN ops (pallas spin-up, scalar-core sequencing,
+    sync waits). This reports, per TPU op line: span (first-start to
+    last-end), busy (union of op intervals), idle = span - busy, and
+    aggregates idle time by the (prev_op -> next_op) pair so the bubble's
+    location in the program is visible.
+    """
+    from jax.profiler import ProfileData
+
+    data = ProfileData.from_file(xplane_path)
+    for plane in data.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        for line in plane.lines:
+            evs = sorted(
+                ((ev.start_ns, ev.start_ns + ev.duration_ns, ev.name)
+                 for ev in line.events),
+                key=lambda t: t[0],
+            )
+            if len(evs) < 10:
+                continue
+            span = (evs[-1][1] - evs[0][0]) / 1e6
+            # union busy time + gap attribution
+            busy = 0.0
+            cur_s, cur_e, cur_n = evs[0]
+            gaps: dict[str, float] = {}
+            gap_counts: dict[str, int] = {}
+            for s, e, n in evs[1:]:
+                if s > cur_e:
+                    g = (s - cur_e) / 1e6
+                    if g * 1e3 >= min_gap_us:
+                        key = f"{cur_n[:45]} -> {n[:45]}"
+                        gaps[key] = gaps.get(key, 0.0) + g
+                        gap_counts[key] = gap_counts.get(key, 0) + 1
+                    busy += (cur_e - cur_s) / 1e6
+                    cur_s, cur_e, cur_n = s, e, n
+                else:
+                    cur_e = max(cur_e, e)
+                    cur_n = n if e >= cur_e else cur_n
+            busy += (cur_e - cur_s) / 1e6
+            print(
+                f"\n## line '{line.name}' ({plane.name[:40]}): span "
+                f"{span:.2f} ms, busy {busy:.2f} ms, idle "
+                f"{span - busy:.2f} ms ({100 * (span - busy) / max(span, 1e-9):.1f}%)"
+            )
+            for key, ms in sorted(gaps.items(), key=lambda kv: -kv[1])[:top]:
+                c = gap_counts[key]
+                print(f"  {ms:8.3f} ms  n={c:5d}  avg {1e3 * ms / c:6.1f} us  {key}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=6, help="decode engine steps to trace")
@@ -45,10 +98,20 @@ def main() -> None:
     ap.add_argument("--quantization", choices=["int8", "int4"])
     ap.add_argument("--kv-cache-dtype", default=None)
     ap.add_argument("--parse-only")
+    ap.add_argument("--gaps", action="store_true",
+                    help="also report device idle gaps between ops "
+                         "(busy-vs-span per trace line)")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="trace the pipelined run_until_done decode path "
+                         "(chained bursts) instead of unpipelined llm.step()")
+    ap.add_argument("--decode-burst", type=int, default=16)
+    ap.add_argument("--pipeline-depth", type=int, default=3)
     ap.add_argument("--outdir", default="/tmp/jax-trace")
     args = ap.parse_args()
     if args.parse_only:
         parse_xplane(args.parse_only)
+        if args.gaps:
+            parse_gaps(args.parse_only)
         return
 
     import jax
@@ -74,6 +137,8 @@ def main() -> None:
         quantization=args.quantization,
         enable_prefix_caching=False,
         use_pallas_kernels=True,
+        decode_burst=args.decode_burst,
+        pipeline_depth=args.pipeline_depth,
     )
     llm = LLM(config=cfg, engine_config=eng)
     rng = np.random.default_rng(0)
@@ -94,6 +159,26 @@ def main() -> None:
             out = llm.step()  # warm prefill
         assert out.is_prefill
         print(f"# traced warm prefill in {time.perf_counter()-t0:.2f}s")
+    elif args.pipelined:
+        # Steady-state pipelined decode (the bench/serving path): warm one
+        # full generation round, re-add requests, step past the prefill,
+        # then trace run_until_done's chained-burst steady state.
+        llm.engine.run_until_done()
+        for p in prompts:
+            llm.add_request(p, sp)
+        llm.step()
+        llm.engine.run_until_done()  # relayout round (see bench.py)
+        for p in prompts:
+            llm.add_request(p, sp)
+        llm.step()
+        t0 = time.perf_counter()
+        n0 = llm.engine.metrics["decode_tokens"]
+        with jax.profiler.trace(args.outdir):
+            llm.engine.run_until_done()
+        dt = time.perf_counter() - t0
+        n = llm.engine.metrics["decode_tokens"] - n0
+        print(f"# traced pipelined decode: {n} tokens in {dt:.2f}s "
+              f"({n/dt:,.0f} tok/s, {1e3*dt*B/max(n,1):.3f} ms/step)")
     else:
         for _ in range(3):
             llm.step()  # decode warm
@@ -106,6 +191,8 @@ def main() -> None:
     print("# xplane:", paths[-1] if paths else "NONE")
     if paths:
         parse_xplane(paths[-1])
+        if args.gaps:
+            parse_gaps(paths[-1])
 
 
 if __name__ == "__main__":

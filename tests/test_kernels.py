@@ -569,6 +569,73 @@ class TestRowCommitKernel:
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+class TestRowsCommitAllKernel:
+    """The deferred end-of-step all-layer commit
+    (kv_commit.pallas_rows_commit_all) vs its XLA scatter twin
+    (qwen3._write_kv_all_layers)."""
+
+    def _case(self, seed=0):
+        L, P, nkv, ps, hd, B = 3, 6, 2, 16, 32, 4
+        ks = jax.random.split(jax.random.key(seed), 2)
+        kvc = jax.random.normal(ks[0], (L, P, 2, nkv, ps, hd), jnp.float32)
+        rows = jax.random.normal(ks[1], (L, B, 2, nkv, hd), jnp.float32)
+        slots = jnp.asarray(
+            [1 * ps + 3, 2 * ps + 8, 0, 4 * ps + 15], jnp.int32
+        )
+        return kvc, rows, slots
+
+    def test_matches_xla_twin_bf16(self):
+        from nano_vllm_candle_tpu.kernels.kv_commit import (
+            pallas_rows_commit_all,
+        )
+
+        kvc, rows, slots = self._case()
+        got, _ = pallas_rows_commit_all(kvc, rows, slots, interpret=True)
+        ref, _ = qwen3._write_kv_all_layers(kvc, None, rows, slots)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        # every layer's row landed (not just layer 0)
+        after = np.asarray(got)
+        for li in range(rows.shape[0]):
+            s = int(np.asarray(slots)[0])
+            np.testing.assert_allclose(
+                after[li, s // 16, 0, :, s % 16], np.asarray(rows[li, 0, 0])
+            )
+
+    def test_matches_xla_twin_int8(self):
+        from nano_vllm_candle_tpu.kernels.kv_commit import (
+            pallas_rows_commit_all,
+        )
+
+        kvc, rows, slots = self._case(seed=3)
+        L, P, _, nkv, ps, hd = kvc.shape
+        kv8 = jnp.zeros((L, P, 2, nkv, ps, hd), jnp.int8)
+        sc = jnp.zeros((L, P, 2, nkv, ps), jnp.float32)
+        got, gots = pallas_rows_commit_all(
+            kv8, rows, slots, kv_scale=sc, interpret=True
+        )
+        ref, refs = qwen3._write_kv_all_layers(kv8, sc, rows, slots)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        np.testing.assert_allclose(
+            np.asarray(gots), np.asarray(refs), rtol=1e-6, atol=1e-7
+        )
+
+    def test_equivalent_to_per_layer_row_commits(self):
+        """One all-layer call == L sequential pallas_row_commit calls."""
+        from nano_vllm_candle_tpu.kernels.kv_commit import (
+            pallas_rows_commit_all,
+        )
+
+        kvc, rows, slots = self._case(seed=5)
+        got, _ = pallas_rows_commit_all(kvc, rows, slots, interpret=True)
+        ref = kvc
+        for li in range(rows.shape[0]):
+            ref, _ = pallas_row_commit(
+                ref, rows[li, :, 0], rows[li, :, 1], jnp.int32(li), slots,
+                interpret=True,
+            )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 class TestDenseMatmulKernel:
     """Stacked plain-bf16 decode matmul (kernels/quant_matmul.py:
     pallas_dense_matmul) vs jnp.dot."""
