@@ -59,6 +59,13 @@ class JaxModelRunner:
             on_tpu = jax.devices()[0].platform != "cpu"
             attn_impl = "pallas" if (engine_config.use_pallas_kernels and on_tpu) else "xla"
         self.attn_impl = attn_impl
+        # The quantized lm_head (EngineConfig.lm_head_dtype) rides the
+        # fused dequant-matmul kernel only in single-device jits; under
+        # a mesh GSPMD partitions the XLA grouped form over the
+        # vocab-sharded head (a bare pallas_call is opaque to GSPMD).
+        self._logits_impl = (
+            "pallas" if (attn_impl == "pallas" and mesh is None) else "xla"
+        )
         if engine_config.kvcache_block_size % qwen3.GROUP:
             raise ValueError(
                 f"kvcache_block_size must be a multiple of {qwen3.GROUP} "
@@ -153,7 +160,8 @@ class JaxModelRunner:
             config=self.config, mode="prefill", attn_impl=self.attn_impl,
             mesh=self.mesh,
         )
-        logits = qwen3.compute_logits(params, hidden)
+        logits = qwen3.compute_logits(
+            params, hidden, impl=self._logits_impl)
         rng = jax.random.fold_in(jax.random.key(seed), step)
         tokens = sample_tokens(
             rng, logits, seq_f32[:, 0], seq_i32[:, 1], seq_f32[:, 1],
@@ -236,7 +244,8 @@ class JaxModelRunner:
                 config=self.config, mode="decode", attn_impl=self.attn_impl,
                 mesh=self.mesh,
             )
-            logits = qwen3.compute_logits(params, hidden)
+            logits = qwen3.compute_logits(
+            params, hidden, impl=self._logits_impl)
             rng = jax.random.fold_in(burst_rng, i)
             new_tokens = sample_tokens(
                 rng, logits, seq_f32[:, 0], top_k, seq_f32[:, 1],

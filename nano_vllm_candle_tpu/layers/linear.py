@@ -236,11 +236,40 @@ _QUANT_TARGETS = (
 )
 
 
+def quantize_lm_head(
+    params: Dict[str, Any], bits: str = "int8", group_size: int = 128
+) -> Dict[str, Any]:
+    """Quantize ONLY the logits matmul's weight (EngineConfig.lm_head_dtype).
+
+    The lm_head read is a first-order decode cost, not a rounding error:
+    at 0.6B the tied 311 MB bf16 table re-read every step is ~20% of the
+    per-step device budget (0.391 ms at bs8, BASELINE.md), and at 8B the
+    untied 1.24 GB head dwarfs the int4 decoder weights. Tied models keep
+    ``embed_tokens`` bf16 for the (tiny) gather and gain a quantized
+    ``lm_head`` entry built from its transpose; untied models quantize
+    ``lm_head`` in place (freeing the bf16 copy). Gated by argmax-parity
+    and engine-path Δppl tests (tests/test_quant.py, tests/test_evals.py).
+    """
+    out = dict(params)
+    if "lm_head" in params:
+        if not is_quantized(params["lm_head"]):
+            out["lm_head"] = quantize_weight(
+                params["lm_head"], bits=bits, group_size=group_size
+            )
+    else:
+        w = jnp.swapaxes(params["embed_tokens"], 0, 1)  # [H, V]
+        out["lm_head"] = quantize_weight(w, bits=bits, group_size=group_size)
+    return out
+
+
 def quantize_qwen3_params(
     params: Dict[str, Any], bits: str = "int8", group_size: int = 128
 ) -> Dict[str, Any]:
-    """Quantize every decoder projection; embeddings, norms and lm_head stay
-    bf16 (tiny fraction of bytes; the lm_head matmul runs once per step)."""
+    """Quantize every decoder projection. Embeddings and norms stay bf16
+    (the gather/norm reads are tiny); the lm_head is quantized SEPARATELY
+    by ``quantize_lm_head`` (EngineConfig.lm_head_dtype) because its 311
+    MB-1.24 GB per-step re-read is a first-order decode cost — see that
+    function's docstring."""
     out = dict(params)
     out["layers"] = dict(params["layers"])
     for name in _QUANT_TARGETS:

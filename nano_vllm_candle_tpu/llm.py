@@ -84,6 +84,11 @@ class LLM:
                     config, jax.random.key(engine_config.seed),
                     dtype=jnp.dtype(engine_config.dtype),
                 )
+        if engine_config.lm_head_dtype not in ("bfloat16", "int8"):
+            raise ValueError(
+                f"lm_head_dtype must be bfloat16 or int8, got "
+                f"{engine_config.lm_head_dtype!r}"
+            )
         if engine_config.quantization is not None:
             from nano_vllm_candle_tpu.layers.linear import quantize_qwen3_params
 
@@ -111,6 +116,14 @@ class LLM:
                     bits=engine_config.quantization,
                     group_size=engine_config.quant_group_size,
                 )
+
+        if engine_config.lm_head_dtype == "int8":
+            from nano_vllm_candle_tpu.layers.linear import quantize_lm_head
+
+            params = quantize_lm_head(
+                params, bits="int8",
+                group_size=engine_config.quant_group_size,
+            )
 
         self.config = config
         self.engine_config = engine_config

@@ -671,10 +671,21 @@ def forward(
     return hidden, KVCache(new_kv, new_kvs)
 
 
-def compute_logits(params: Params, hidden: jax.Array) -> jax.Array:
+def compute_logits(params: Params, hidden: jax.Array, impl: str = "xla") -> jax.Array:
     """``[B, H] @ [H, V]`` — untied lm_head or tied embedding transpose
-    (``qwen3.rs:525-528,542-550``; tied support per HF config)."""
+    (``qwen3.rs:525-528,542-550``; tied support per HF config).
+
+    ``lm_head`` may be an INT8-quantized dict (``quantize_lm_head``): the
+    grouped dequant matmul then reads half the bytes of the bf16 table —
+    the head re-read is ~20% of the 0.6B per-step decode budget.
+    ``impl="pallas"`` routes it through the fused dequant-matmul kernel
+    (single-device jits only; under a mesh GSPMD partitions the XLA form).
+    """
     if "lm_head" in params:
+        from nano_vllm_candle_tpu.layers.linear import is_quantized, matmul
+
+        if is_quantized(params["lm_head"]):
+            return matmul(hidden, params["lm_head"], impl=impl)
         return hidden @ params["lm_head"]
     return hidden @ params["embed_tokens"].T
 

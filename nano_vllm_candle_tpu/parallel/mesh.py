@@ -111,7 +111,13 @@ def qwen3_param_pspecs(config: Qwen3Config, params: Any) -> Any:
         "norm": P(None),
     }
     if "lm_head" in params:
-        specs["lm_head"] = P(None, "tp")  # vocab-parallel head
+        lh = params["lm_head"]
+        if isinstance(lh, dict):  # int8 head (quantize_lm_head): [G, gs|1, V]
+            specs["lm_head"] = jax.tree.map(
+                lambda _: P(None, None, "tp"), lh
+            )
+        else:
+            specs["lm_head"] = P(None, "tp")  # vocab-parallel head
     return specs
 
 

@@ -143,3 +143,55 @@ class TestQuantizedEndToEnd:
         q8 = np.asarray(qwen3.forward_full(qparams, tokens, config=CFG))
         rel = np.linalg.norm(q8 - fp) / np.linalg.norm(fp)
         assert rel < 0.02, rel
+
+
+class TestInt8LmHead:
+    """The quantized logits head (layers/linear.quantize_lm_head,
+    EngineConfig.lm_head_dtype) — the 311 MB/step tied-table re-read it
+    halves is ~20% of the 0.6B bs8 device budget (BASELINE.md)."""
+
+    def test_untied_argmax_parity(self, tiny_params):
+        from nano_vllm_candle_tpu.layers.linear import quantize_lm_head
+
+        qp = quantize_lm_head(tiny_params, group_size=64)
+        assert isinstance(qp["lm_head"], dict)
+        hidden = jax.random.normal(
+            jax.random.key(7), (16, CFG.hidden_size), jnp.float32
+        )
+        fp = np.asarray(qwen3.compute_logits(tiny_params, hidden))
+        q8 = np.asarray(qwen3.compute_logits(qp, hidden))
+        # argmax agreement off-ties: a tiny random model has no exact ties
+        np.testing.assert_array_equal(fp.argmax(-1), q8.argmax(-1))
+        rel = np.linalg.norm(q8 - fp) / np.linalg.norm(fp)
+        assert rel < 0.02, rel
+
+    def test_tied_head_built_from_embedding(self):
+        from nano_vllm_candle_tpu.layers.linear import quantize_lm_head
+
+        cfg = Qwen3Config.tiny()
+        cfg = Qwen3Config.from_hf_dict(
+            {**{f.name: getattr(cfg, f.name)
+                for f in __import__("dataclasses").fields(cfg)},
+             "tie_word_embeddings": True}
+        )
+        params = qwen3.init_params(cfg, jax.random.key(5), dtype=jnp.float32)
+        assert "lm_head" not in params
+        qp = quantize_lm_head(params, group_size=64)
+        assert isinstance(qp["lm_head"], dict)
+        # embedding stays full precision for the gather
+        assert isinstance(qp["embed_tokens"], jax.Array)
+        hidden = jax.random.normal(
+            jax.random.key(8), (8, cfg.hidden_size), jnp.float32
+        )
+        fp = np.asarray(qwen3.compute_logits(params, hidden))
+        q8 = np.asarray(qwen3.compute_logits(qp, hidden))
+        np.testing.assert_array_equal(fp.argmax(-1), q8.argmax(-1))
+
+    def test_generation_matches_bf16_head(self, tiny_params):
+        """Greedy generations with the int8 head (the default) match the
+        bf16-head opt-out on a tiny random model."""
+        q8 = make_llm(tiny_params).generate([PROMPT], GREEDY)[0].token_ids
+        fp = make_llm(tiny_params, lm_head_dtype="bfloat16").generate(
+            [PROMPT], GREEDY
+        )[0].token_ids
+        assert q8 == fp
