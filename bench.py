@@ -345,6 +345,11 @@ def main() -> None:
                         help="decode steps per dispatch (on-device scan)")
     parser.add_argument("--pipeline-depth", type=int, default=3,
                         help="in-flight chained decode bursts")
+    parser.add_argument("--repeat", type=int, default=1,
+                        help="timed generation rounds; the headline value "
+                             "is their mean and extra carries min/max so "
+                             "round-over-round deltas are distinguishable "
+                             "from tunnel variance")
     parser.add_argument("--tiny", action="store_true", help="tiny model on CPU (smoke)")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--stagger", action="store_true",
@@ -553,19 +558,83 @@ def main() -> None:
     n_decode = llm.engine.metrics["decode_tokens"] - decode_before
     tok_s = n_decode / decode_s
 
+    # Repeat rounds (--repeat): re-run the whole timed generation so the
+    # headline can be quoted mean +- spread — round-over-round deltas must
+    # be distinguishable from tunnel weather (round-3 review item #9).
+    round_tok_s = [tok_s]
+    for _ in range(max(0, args.repeat - 1)):
+        for p in prompts:
+            llm.add_request(p, sp)
+        llm.step()
+        while llm.engine.scheduler.waiting or any(
+            s.num_computed_tokens < len(s) - 1
+            for s in llm.engine.scheduler.running
+        ):
+            if not llm.step().is_prefill:
+                break
+        before = llm.engine.metrics["decode_tokens"]
+        t0 = time.perf_counter()
+        llm.engine.run_until_done()
+        dt = time.perf_counter() - t0
+        round_tok_s.append(
+            (llm.engine.metrics["decode_tokens"] - before) / dt
+        )
+    tok_s = sum(round_tok_s) / len(round_tok_s)
+
     # --- speed-of-light estimate ---------------------------------------------
-    pbytes = param_bytes(llm.model_runner.params)
-    # per decode step: read all weights once + tied lm_head again for logits
+    # What a decode step actually READS from HBM: the decoder weights, the
+    # logits weight (int8 head dict when lm_head_dtype=int8; the tied bf16
+    # table otherwise), and each sequence's KV. The embedding table itself
+    # is only gathered (B rows) when a separate logits head exists.
+    runner_params = llm.model_runner.params
+
+    def tree_bytes(t):
+        return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(t))
+
+    pbytes = param_bytes(runner_params)
+    embed_bytes = tree_bytes(runner_params["embed_tokens"])
+    head_bytes = (
+        tree_bytes(runner_params["lm_head"])
+        if "lm_head" in runner_params else embed_bytes  # tied bf16 re-read
+    )
+    decoder_bytes = pbytes - embed_bytes - (
+        tree_bytes(runner_params["lm_head"]) if "lm_head" in runner_params
+        else 0
+    )
     itemsize = jnp.dtype(dtype).itemsize
     kv_itemsize = 1 if kv_dtype == "int8" else itemsize
-    logit_bytes = cfg.vocab_size * cfg.hidden_size * itemsize
     kv_bytes_per_seq = (
         2 * cfg.num_hidden_layers * cfg.num_key_value_heads * cfg.head_dim
         * (prompt_len + decode_steps // 2) * kv_itemsize
     )
-    step_bytes = pbytes + (logit_bytes if cfg.tie_word_embeddings else 0) + B * kv_bytes_per_seq
+    step_bytes = decoder_bytes + head_bytes + B * kv_bytes_per_seq
     bw = detect_bw(jax.devices()[0])
     sol_tok_s = B * bw / step_bytes
+
+    # --- practical ceiling (round-3 review item #8) --------------------------
+    # The spec-sheet SOL above divides by 819 GB/s as if decode were purely
+    # HBM-bound; BASELINE.md's measured machine laws say otherwise once
+    # weights are int8/int4: dense time is pinned by the MXU weight-stream
+    # floor (~2.34 us per M weight VALUES at batch <= ~128, identical for
+    # bf16/int8), DMA tops out at ~669 GB/s (82% of spec), and sampling/
+    # fusion fixed costs are real. vs_practical_ceiling reports the same
+    # measurement against that model, so progress toward "done" is visible
+    # for configs whose spec-SOL ratio is physically unreachable.
+    DMA_BW = 669e9
+    MXU_S_PER_VALUE = 2.34e-12  # 2.34 us per 1e6 weight values
+    decoder_values = sum(
+        x.size * (2 if x.dtype == jnp.uint8 else 1)  # packed int4 nibbles
+        for name, sub in runner_params["layers"].items()
+        for x in jax.tree.leaves(sub)
+        if x.ndim >= 3  # projections; skip norms
+    )
+    dense_s = max(decoder_values * MXU_S_PER_VALUE, decoder_bytes / DMA_BW)
+    head_s = head_bytes / DMA_BW
+    kv_s = B * kv_bytes_per_seq / DMA_BW
+    # argmax/sampling + small fusions, calibrated from round-3/4 traces
+    # (~0.074 ms at bs8, ~0.24 ms at bs64 on v5e)
+    fixed_s = (0.05 + 0.003 * B) * 1e-3
+    practical_tok_s = B / (dense_s + head_s + kv_s + fixed_s)
 
     wtag = args.quantization or dtype
     kvtag = "_kvint8" if kv_dtype == "int8" else ""
@@ -577,11 +646,16 @@ def main() -> None:
         "unit": "tok/s",
         "vs_baseline": round(tok_s / sol_tok_s, 4),
         "extra": {
+            "vs_practical_ceiling": round(tok_s / practical_tok_s, 4),
+            "practical_tok_s": round(practical_tok_s, 1),
             "ttft_p50_s": round(ttft_s, 4),
             "prefill_compile_s": round(prefill_compile_s, 2),
             "decode_compile_s": round(decode_compile_s, 2),
             "d2h_handshake_s": round(handshake_s, 1),
             "sol_tok_s": round(sol_tok_s, 1),
+            "tok_s_rounds": [round(x, 1) for x in round_tok_s],
+            "tok_s_min": round(min(round_tok_s), 1),
+            "tok_s_max": round(max(round_tok_s), 1),
             "prompt_len": prompt_len,
             "decode_steps": decode_steps,
             "device": str(jax.devices()[0]),

@@ -75,3 +75,84 @@ def test_compare_quantization_end_to_end(tmp_path):
     # int8 must sit closer to bf16 than int4 does on the same text (loose
     # sanity that quantization error, not noise, drives the delta)
     assert abs(results["int8"]["delta"]) <= abs(results["int4"]["delta"]) + 0.25
+
+
+ENGINE_KW = dict(
+    max_num_seqs=1,
+    max_num_batched_tokens=256,
+    num_kvcache_blocks=16,
+    kvcache_block_size=32,
+    max_model_len=512,
+    dtype="float32",
+    kv_cache_dtype="float32",
+    use_pallas_kernels=False,
+    attn_impl="xla",
+    prefill_buckets=(64, 128, 256),
+)
+
+
+class TestEnginePathPpl:
+    """The Δppl gate routed through the SERVED stack (round-3 missing #2):
+    chunked prefill + paged-prefix attention + page commits + teacher-forced
+    paged decode, scored against the bf16 full-recompute reference."""
+
+    def _params(self, seed=0):
+        return qwen3.init_params(CFG, jax.random.key(seed), jnp.float32)
+
+    def _tokens(self, n=150, seed=4):
+        return list(map(int, np.random.default_rng(seed).integers(
+            0, CFG.vocab_size, n)))
+
+    def test_engine_path_matches_full_recompute_unquantized(self):
+        """With no quantization at all, the engine path (paged cache,
+        chunked prefill, decode fold, deferred commit) must reproduce the
+        full-recompute NLL almost exactly — any gap is a caching bug, not
+        rounding."""
+        from evals.ppl import compare_engine_vs_full
+
+        r = compare_engine_vs_full(
+            CFG, self._params(), self._tokens(),
+            engine_kwargs=dict(ENGINE_KW, lm_head_dtype="bfloat16"),
+            chunk=48, decode_tail=17, max_delta=0.1,
+        )
+        assert r["pass"], r
+        # scale-free: random-init ppl is ~vocab_size, where exp() amplifies
+        # f32 rounding into visible absolute deltas; the engine path must
+        # match full recompute to ~1e-4 RELATIVE (measured ~4e-5).
+        assert abs(r["delta_relative"]) < 1e-4, r
+
+    def test_engine_path_int8_kv_delta_gate(self):
+        """Relative Δppl <= 1% with INT8 KV + int8 weights + int8 lm_head —
+        the full quantized serving numerics inside the scored path. (The
+        BASELINE.json Δppl <= 0.1 ABSOLUTE gate applies at real-checkpoint
+        perplexities ~10; a random-init model sits at ppl ~vocab_size,
+        where exp() amplifies the same relative error ~40x — measured
+        ~0.4% relative here, which at ppl 10 is Δppl ~0.04, inside the
+        gate.)"""
+        from evals.ppl import compare_engine_vs_full
+
+        r = compare_engine_vs_full(
+            CFG, self._params(1), self._tokens(seed=5),
+            engine_kwargs=dict(
+                ENGINE_KW, kv_cache_dtype="int8", quantization="int8",
+                quant_group_size=32,
+            ),
+            chunk=48, decode_tail=17, max_delta=0.1,
+        )
+        assert abs(r["delta_relative"]) <= 0.01, r
+
+    def test_decode_tail_consistent_with_prefill_scoring(self):
+        """Scoring the same text with decode_tail=2 vs decode_tail=30 must
+        agree: the teacher-forced decode path and the chunked-prefill path
+        are numerically interchangeable on the unquantized model."""
+        from evals.ppl import engine_path_nll
+        from nano_vllm_candle_tpu.config import EngineConfig
+        from nano_vllm_candle_tpu.llm import LLM
+
+        llm = LLM(config=CFG, params=self._params(2),
+                  engine_config=EngineConfig(**ENGINE_KW,
+                                             lm_head_dtype="bfloat16"))
+        toks = self._tokens(n=100, seed=6)
+        a = engine_path_nll(llm, toks, chunk=40, decode_tail=2)
+        b = engine_path_nll(llm, toks, chunk=40, decode_tail=30)
+        assert abs(a - b) < 1e-4, (a, b)
