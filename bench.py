@@ -313,6 +313,127 @@ def run_scaling(args) -> None:
         sys.exit(1)
 
 
+def run_prefix_cache_bench(args) -> None:
+    """Measure the prefix cache's WIN, not just its correctness (round-3
+    review item #10): B prompts sharing a block-aligned common prefix,
+    TTFT and ``prefix_cached_tokens`` with the cache warm vs the cold
+    first pass. The block-sharing machinery (engine/block_manager.py
+    rolling-hash prefix reuse) had correctness tests but no measured
+    benefit until this row.
+    """
+    import jax
+
+    from nano_vllm_candle_tpu.utils.warmup import warm_transfer_async, wait_warm
+
+    if args.cpu or args.model in ("tiny", "small"):
+        jax.config.update("jax_platforms", "cpu")
+    warm_transfer_async()
+    import numpy as np
+
+    from nano_vllm_candle_tpu.config import EngineConfig, Qwen3Config
+    from nano_vllm_candle_tpu.llm import LLM
+    from nano_vllm_candle_tpu.sampling_params import SamplingParams
+
+    cfg = {
+        "0.6b": Qwen3Config.qwen3_0_6b,
+        "4b": Qwen3Config.qwen3_4b,
+        "8b": Qwen3Config.qwen3_8b,
+        "small": Qwen3Config.small,
+        "tiny": Qwen3Config.tiny,
+    }[args.model]()
+    B = args.batch
+    block_size = args.block_size if args.model not in ("tiny",) else 16
+    share = args.prefix_share
+    if share % block_size:
+        share = (share // block_size) * block_size
+        print(f"# prefix share rounded down to {share} (block-aligned; only "
+              "FULL blocks are hash-shareable)", file=sys.stderr)
+    tail = max(block_size // 2, 64) if args.model != "tiny" else 8
+    prompt_len = share + tail
+    decode_steps = 16
+    max_len = prompt_len + decode_steps + block_size
+    blocks_per_seq = -(-max_len // block_size)
+    eng = EngineConfig(
+        max_num_seqs=B,
+        max_num_batched_tokens=max(4096, prompt_len + block_size),
+        num_kvcache_blocks=1 + (B + 1) * blocks_per_seq,
+        kvcache_block_size=block_size,
+        max_model_len=max_len,
+        dtype="bfloat16" if args.model != "tiny" else "float32",
+        kv_cache_dtype=args.kv_cache_dtype or (
+            "bfloat16" if args.model != "tiny" else "float32"),
+        quantization=args.quantization,
+        enable_prefix_caching=True,
+        use_pallas_kernels=args.model != "tiny",
+        attn_impl="xla" if args.model == "tiny" else None,
+    )
+    llm = LLM(config=cfg, engine_config=eng)
+    wait_warm()
+    rng = np.random.default_rng(0)
+    shared = list(map(int, rng.integers(10, cfg.vocab_size - 10, share)))
+    sp = SamplingParams(temperature=0.0, max_tokens=decode_steps,
+                        ignore_eos=True)
+
+    def fresh_prompt():
+        return shared + list(map(
+            int, rng.integers(10, cfg.vocab_size - 10, tail)))
+
+    # Warmup/compile with UNRELATED prompts (no shared prefix) so the cold
+    # TTFT below measures prefill work, not compilation.
+    warm = [list(map(int, rng.integers(10, cfg.vocab_size - 10, prompt_len)))]
+    llm.add_request(warm[0], sp)
+    llm.step()
+    llm.engine.run_until_done()
+    llm.add_request(warm[0][:-1] + [11], sp)  # relayout round (bench.py note)
+    llm.step()
+    llm.engine.run_until_done()
+
+    # COLD: first shared-prefix prompt pays the full prefill.
+    cold_before = llm.engine.metrics["prefix_cached_tokens"]
+    llm.add_request(fresh_prompt(), sp)
+    t0 = time.perf_counter()
+    out = llm.step()
+    ttft_cold = time.perf_counter() - t0
+    assert out.is_prefill
+    llm.engine.run_until_done()
+    cold_hits = llm.engine.metrics["prefix_cached_tokens"] - cold_before
+
+    # WARM: fresh requests re-using the shared prefix from the hash cache.
+    warm_ttfts = []
+    warm_before = llm.engine.metrics["prefix_cached_tokens"]
+    n_warm = 0
+    for _ in range(max(1, B - 1)):
+        llm.add_request(fresh_prompt(), sp)
+        n_warm += 1
+    while llm.engine.scheduler.waiting:
+        t0 = time.perf_counter()
+        out = llm.step()
+        if out.is_prefill:
+            warm_ttfts.append(time.perf_counter() - t0)
+    llm.engine.run_until_done()
+    warm_hits = llm.engine.metrics["prefix_cached_tokens"] - warm_before
+
+    ttft_warm = sorted(warm_ttfts)[len(warm_ttfts) // 2]
+    hit_rate = warm_hits / max(1, n_warm * prompt_len)
+    result = {
+        "metric": f"prefix_cache_ttft_speedup_{args.model}_share{share}",
+        "value": round(ttft_cold / ttft_warm, 3),
+        "unit": "x",
+        "vs_baseline": round(ttft_cold / ttft_warm, 3),
+        "extra": {
+            "ttft_cold_s": round(ttft_cold, 4),
+            "ttft_warm_p50_s": round(ttft_warm, 4),
+            "shared_prefix_tokens": share,
+            "prompt_len": prompt_len,
+            "warm_requests": n_warm,
+            "prefix_cached_tokens": int(warm_hits),
+            "prefix_hit_rate_of_prompt": round(hit_rate, 4),
+            "cold_cached_tokens": int(cold_hits),
+        },
+    }
+    print(json.dumps(result))
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="0.6b",
@@ -352,6 +473,11 @@ def main() -> None:
                              "from tunnel variance")
     parser.add_argument("--tiny", action="store_true", help="tiny model on CPU (smoke)")
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--prefix-share", type=int, default=0, metavar="S",
+                        help="measure the prefix cache: B prompts sharing "
+                             "an S-token block-aligned prefix; prints a "
+                             "TTFT-speedup JSON line (cold vs hash-cache "
+                             "warm) with the prefix_cached_tokens hit rate")
     parser.add_argument("--stagger", action="store_true",
                         help="add a second wave of B requests AFTER decode "
                              "starts, so prefills dispatch into the pipeline "
@@ -386,9 +512,12 @@ def main() -> None:
         return scaling_worker(args)
     if args.scaling:
         return run_scaling(args)
+    if args.prefix_share:
+        return run_prefix_cache_bench(args)
 
-    if args.tp * args.dp > 1:
+    if args.tp * args.dp > 1 and not (args.cpu or args.model in ("tiny", "small")):
         # Must precede the first backend use: XLA reads the env at init.
+        # TPU-only: the CPU XLA client aborts on unknown --xla_tpu_* flags.
         from nano_vllm_candle_tpu.parallel.distributed import (
             apply_collective_overlap_flags,
         )

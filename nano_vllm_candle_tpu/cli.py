@@ -96,9 +96,10 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
 
-    if args.tp * args.dp > 1:
+    if args.tp * args.dp > 1 and args.device != "cpu":
         # Before first backend use: async-collective fusion + latency-hiding
         # scheduler so tp/dp collectives overlap compute (SURVEY.md §5.8).
+        # TPU-only: the CPU XLA client dies on unknown --xla_tpu_* flags.
         from nano_vllm_candle_tpu.parallel.distributed import (
             apply_collective_overlap_flags,
         )

@@ -9,7 +9,7 @@ weights and dequantizing *after* the HBM→VMEM DMA, inside the kernel.
 Computes ``x[T, d_in] @ W`` where ``W`` is sub-channel quantized
 (``layers/linear.py:quantize_weight``): ``q[G, gs, out]`` int8 (or planar
 nibble-packed ``q4[G, gs/2, out]`` uint8) with per-(group, out-channel)
-scales ``s[G, 1, out]``.
+scales ``s[G, out]``.
 
 Shape strategy — everything follows from keeping the weight stream
 CONTIGUOUS (v5e HBM DMAs hit peak only on long unbroken runs):
@@ -58,24 +58,31 @@ def _kernel(li_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, packe
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]  # [T, gs]
+    # s block is the layer's FULL [G, out] scale plane (constant index map:
+    # DMA'd once per call, not per group step); this group's row comes from
+    # a dynamic sublane slice. A per-group (1, 1, out) block would need a
+    # broadcast axis to satisfy Mosaic's block-divisibility rule, and that
+    # axis gives the scale tensor a T(1,128) layout XLA pays strided-copy
+    # tax on (measured on the [8, 1, 151936] lm_head scales at bs64).
+    s_row = s_ref[0, pl.ds(g, 1)]  # [1, out]
     if packed4:
         # Unpack to UNSIGNED nibbles and let the matmul run on [0, 15]
         # values, correcting the -8 zero-point afterwards:
         #   dot(x, n - 8) == dot(x, n) - 8 * rowsum(x)
         # The rowsum is a [T, 1] column (vs two [gs/2, out] vector
         # subtractions per block) — measured 6% faster end-to-end at T=64
-        # (tmp round-3 microbench, variant C vs A). Widening to int32 first
-        # is still required: Mosaic cannot legalize int8/uint8 vector ops
-        # on packed narrow layouts.
+        # (round-3 microbench, variant C vs A). Widening to int32 first is
+        # still required: Mosaic cannot legalize int8/uint8 vector ops on
+        # packed narrow layouts.
         p = q_ref[0, 0].astype(jnp.int32)  # [gs/2, out], planar nibbles
         w = jnp.concatenate([p & 0xF, p >> 4], axis=0).astype(x.dtype)
         d = jnp.dot(x, w, preferred_element_type=jnp.float32)
         d -= 8.0 * jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
-        acc_ref[...] += d * s_ref[0, 0]
+        acc_ref[...] += d * s_row
     else:
         w = q_ref[0, 0].astype(x.dtype)  # [gs, out], cast in VMEM
         acc_ref[...] += (
-            jnp.dot(x, w, preferred_element_type=jnp.float32) * s_ref[0, 0]
+            jnp.dot(x, w, preferred_element_type=jnp.float32) * s_row
         )
 
     @pl.when(g == n_groups - 1)
@@ -209,7 +216,7 @@ def supported(qw: Dict[str, jax.Array], T: int) -> bool:
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_quant_matmul(
     x: jax.Array,  # [T, d_in]
-    qw: Dict[str, jax.Array],  # {"q"|"q4": [(L,)G,gs,out], "s": [(L,)G,1,out]}
+    qw: Dict[str, jax.Array],  # {"q"|"q4": [(L,)G,gs,out], "s": [(L,)G,out]}
     layer_index: jax.Array | None = None,  # required for stacked (4-dim) qw
     *,
     interpret: bool = False,
@@ -249,7 +256,11 @@ def pallas_quant_matmul(
         in_specs=[
             pl.BlockSpec((T, gs), lambda g, li_ref: (0, g)),
             pl.BlockSpec((1, 1, rows, out), lambda g, li_ref: (li_ref[0], g, 0, 0)),
-            pl.BlockSpec((1, 1, 1, out), lambda g, li_ref: (li_ref[0], g, 0, 0)),
+            # scales [L, G, out]: the layer's full plane with a CONSTANT
+            # index map (Pallas skips the re-DMA on unchanged blocks), the
+            # kernel slices its group's row. See _kernel for why not a
+            # per-group block.
+            pl.BlockSpec((1, G, out), lambda g, li_ref: (li_ref[0], 0, 0)),
         ],
         out_specs=pl.BlockSpec((T, out), lambda g, li_ref: (0, 0)),
         scratch_shapes=[pltpu.VMEM((T, out), jnp.float32)],

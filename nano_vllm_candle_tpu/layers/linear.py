@@ -16,7 +16,7 @@ Quantization (the BASELINE.json north star the reference never had):
 contraction (input) dim in groups of ``group_size`` (default 128 = one MXU
 lane tile), symmetric, one scale per (group, out-channel):
 
-    w[in, out] -> q[G, gs, out] int8/int4,  s[G, 1, out] f32-ish
+    w[in, out] -> q[G, gs, out] int8/int4,  s[G, out] f32-ish
 
 The matmul contracts per group in the integer domain and applies scales on
 the [T, G, out] partials — so the MXU runs on int8/int4 operands (2-4x its
@@ -59,12 +59,17 @@ TRANSPOSED_PROJS = ("q_proj", "k_proj", "v_proj", "down_proj", "qkv_proj")
 def QuantizedWeight(q: jax.Array, s: jax.Array, *, packed4: bool = False) -> Dict[str, jax.Array]:
     """A quantized weight is a plain dict pytree (scan/shard friendly).
 
-    int8: ``{"q": int8 [..., G, gs, out], "s": f32 [..., G, 1, out]}``.
+    int8: ``{"q": int8 [..., G, gs, out], "s": f32 [..., G, out]}``.
     int4: ``{"q4": uint8 [..., G, gs/2, out], "s": ...}`` — two offset-coded
     nibbles per byte along the group axis. (Native ``jnp.int4`` arrays crash
     the axon TPU transfer path, and nibble-packing is the portable layout
     anyway: HBM reads are true 4-bit, unpack is VPU work fused ahead of the
     MXU.)
+
+    The scales deliberately carry NO broadcast axis between G and out: a
+    size-1 sublane dim forces XLA into a T(1,128) tiling whose strided
+    copies measured ~2.4 ms/step on the [8, 1, 151936] lm_head scale plane
+    at bs64 — consumers insert the broadcast axis at use sites instead.
     """
     return {("q4" if packed4 else "q"): q, "s": s}
 
@@ -121,13 +126,13 @@ def quantize_weight(
         q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
         if bits == "int4":
             q = _pack_nibbles(q)
-        return q, scale.astype(jnp.float32)
+        return q, scale[:, 0, :].astype(jnp.float32)  # [G, out]
 
     if lead:
         flat = w.reshape(-1, d_in, d_out)
         q, s = jax.lax.map(quant_2d, flat)
         q = q.reshape(*lead, *q.shape[1:])
-        s = s.reshape(*lead, G, 1, d_out)
+        s = s.reshape(*lead, G, d_out)
     else:
         q, s = quant_2d(w)
     return QuantizedWeight(q, s, packed4=(bits == "int4"))
@@ -140,7 +145,10 @@ def _int_values(w: Dict[str, jax.Array]) -> jax.Array:
 def dequantize_weight(qw: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
     q, s = _int_values(qw), qw["s"]
     *lead, G, gs, out = q.shape
-    return (q.astype(jnp.float32) * s).reshape(*lead, G * gs, out).astype(dtype)
+    return (
+        (q.astype(jnp.float32) * s[..., :, None, :])
+        .reshape(*lead, G * gs, out).astype(dtype)
+    )
 
 
 def matmul(
@@ -198,7 +206,7 @@ def matmul(
             return quant_matmul.pallas_quant_matmul(
                 x, w, layer_index, interpret=interpret
             )
-    q, s = _int_values(w), w["s"]  # [(L,) G, gs, out], [(L,) G, 1, out]
+    q, s = _int_values(w), w["s"]  # [(L,) G, gs, out], [(L,) G, out]
     if q.ndim == 4:  # stacked: slice this layer (XLA fuses it into the dot)
         assert layer_index is not None, "stacked quantized weights need layer_index"
         q = jax.lax.dynamic_index_in_dim(q, layer_index, 0, keepdims=False)
@@ -212,7 +220,10 @@ def matmul(
         # weight and run one dense MXU matmul instead — prefill is
         # FLOP-bound, the dequant is noise. Decode batches (T <= 256) keep
         # the exact-scale grouped path / the fused Pallas kernel.
-        wd = (q.astype(jnp.float32) * s).reshape(G * gs, out).astype(x.dtype)
+        wd = (
+            (q.astype(jnp.float32) * s[:, None, :])
+            .reshape(G * gs, out).astype(x.dtype)
+        )
         # (Round-3 note: an optimization_barrier here — forcing wd to
         # materialize before the dot — was measured STRICTLY WORSE: int4
         # bs64 warm TTFT 1.03s -> 16.5s. XLA's fused dequant-into-dot is
@@ -225,7 +236,7 @@ def matmul(
         dimension_numbers=(((2,), (1,)), ((1,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    scaled = partial * s  # [G, 1, out] broadcasts over T
+    scaled = partial * s[:, None, :]  # broadcast over T
     return jnp.sum(scaled, axis=0).astype(x.dtype)
 
 

@@ -42,11 +42,15 @@ class LLM:
         warm_transfer_async()
         if engine_config is None:
             engine_config = EngineConfig()
-        if mesh is not None and engine_config.collective_overlap:
+        if (
+            mesh is not None and engine_config.collective_overlap
+            and any(d.platform != "cpu" for d in mesh.devices.flat)
+        ):
             # Best effort at this point: XLA_FLAGS is authoritative only
             # before the first backend use, so the CLI/bench entry points
             # apply it earlier; this covers library embedders who build the
-            # mesh before the engine (idempotent either way).
+            # mesh before the engine (idempotent either way). TPU-only: the
+            # CPU XLA client aborts on unknown --xla_tpu_* flags.
             from nano_vllm_candle_tpu.parallel.distributed import (
                 apply_collective_overlap_flags,
             )

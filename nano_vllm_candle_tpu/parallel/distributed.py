@@ -51,8 +51,9 @@ _initialized = False
 #: into start/done pairs and fuse compute between them;
 #: ``latency_hiding_scheduler`` reorders the HLO schedule so the row-parallel
 #: psums of tensor parallelism run under the next layer's matmuls. No-ops on
-#: CPU and on single-device programs (XLA simply has no collectives to
-#: schedule), so they are safe to apply unconditionally.
+#: single-device TPU programs (no collectives to schedule), but FATAL on the
+#: CPU backend — its flag parser aborts on unknown ``--xla_tpu_*`` names —
+#: so callers must gate on the target device (cli.py/bench.py do).
 COLLECTIVE_OVERLAP_XLA_FLAGS = (
     "--xla_tpu_enable_async_collective_fusion=true",
     "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true",

@@ -67,20 +67,11 @@ _LAYER_KINDS = {
 
 
 def _spec_for(kind: str, ndim: int) -> P:
-    """Kind → PartitionSpec, robust to quantized-weight leaf shapes.
-
-    Plain stacked weights are rank 3 (``[L, in, out]``, or ``[L, out, in]``
-    for ``_t`` kinds); quantized ones are rank 4: ``q[L, G, gs, out]`` +
-    ``s[L, G, 1, out]`` (layers/linear.py). Column kinds shard the output
-    dim; row kinds shard the contraction dim (the group axis ``G`` when
-    quantized).
-    """
+    """Kind → PartitionSpec for PLAIN stacked weights: rank 3
+    (``[L, in, out]``, or ``[L, out, in]`` for ``_t`` kinds). Column kinds
+    shard the output dim; row kinds shard the contraction dim."""
     if kind == "rep":
         return P(*([None] * ndim))
-    if ndim == 4:  # quantized group layout, orientation-independent
-        if kind in ("col", "col_t"):
-            return P(None, None, None, "tp")  # shard out
-        return P(None, "tp", None, None)  # row*: shard groups (contraction)
     if kind == "col":  # [L, in, out]
         return P(None, None, "tp")
     if kind == "col_t":  # [L, out, in]
@@ -92,10 +83,34 @@ def _spec_for(kind: str, ndim: int) -> P:
     raise ValueError(f"unknown layer kind {kind!r}")
 
 
+def quant_specs(kind: str, subtree: dict) -> dict:
+    """Specs for a quantized weight dict: ``q``/``q4`` ``[L, G, gs, out]``
+    (or headless ``[G, gs, out]``) + ``s`` ``[L, G, out]`` / ``[G, out]``.
+    Orientation-independent: column kinds shard ``out`` (last axis of both
+    leaves); row kinds shard the group/contraction axis ``G``."""
+    return {
+        k: quant_leaf_spec(kind, k, v.ndim) for k, v in subtree.items()
+    }
+
+
+def quant_leaf_spec(kind: str, key: str, ndim: int) -> P:
+    """Spec for one quantized-weight leaf (see ``quant_specs``)."""
+    if kind in ("col", "col_t"):
+        return P(*([None] * (ndim - 1)), "tp")  # shard out (last axis)
+    # row*: shard the group axis — -3 for q/q4 ([.., G, gs, out]),
+    # -2 for s ([.., G, out])
+    axes = [None] * ndim
+    axes[-2 if key == "s" else -3] = "tp"
+    return P(*axes)
+
+
 def qwen3_param_pspecs(config: Qwen3Config, params: Any) -> Any:
     """PartitionSpec pytree matching ``params`` (plain or quantized)."""
     layer_specs = {
-        name: jax.tree.map(lambda leaf: _spec_for(kind, leaf.ndim), subtree)
+        name: (
+            quant_specs(kind, subtree) if isinstance(subtree, dict)
+            else _spec_for(kind, subtree.ndim)
+        )
         for name, subtree in params["layers"].items()
         for kind in (_LAYER_KINDS[name],)
     }
@@ -112,10 +127,8 @@ def qwen3_param_pspecs(config: Qwen3Config, params: Any) -> Any:
     }
     if "lm_head" in params:
         lh = params["lm_head"]
-        if isinstance(lh, dict):  # int8 head (quantize_lm_head): [G, gs|1, V]
-            specs["lm_head"] = jax.tree.map(
-                lambda _: P(None, None, "tp"), lh
-            )
+        if isinstance(lh, dict):  # int8 head (quantize_lm_head)
+            specs["lm_head"] = quant_specs("col", lh)  # vocab (out) on tp
         else:
             specs["lm_head"] = P(None, "tp")  # vocab-parallel head
     return specs

@@ -87,10 +87,9 @@ def sharded_matmul(
     row = kind.startswith("row")
     quant = is_quantized(w)
     if quant:
-        if row:  # shard the group (contraction) axis
-            w_spec = jax.tree.map(lambda _: P(None, "tp", None, None), w)
-        else:  # shard the out axis
-            w_spec = jax.tree.map(lambda _: P(None, None, None, "tp"), w)
+        from nano_vllm_candle_tpu.parallel.mesh import quant_specs
+
+        w_spec = quant_specs(kind, w)
     else:
         if row:  # contraction: axis 2 when stored [L, out, in], else axis 1
             w_spec = P(None, None, "tp") if transposed else P(None, "tp", None)

@@ -89,18 +89,31 @@ def _to_jnp(arr: np.ndarray, dtype: jnp.dtype) -> jax.Array:
     return jnp.asarray(arr).astype(dtype)
 
 
-def _sharding_for(name: str, ndim: int, mesh):
-    """NamedSharding for a parameter by name (mesh's layer-kind mapping)."""
+def _sharding_for(name: str, ndim: int, mesh, leaf_key=None):
+    """NamedSharding for a parameter by name (mesh's layer-kind mapping).
+
+    ``leaf_key``: "q"/"q4"/"s" for quantized-dict leaves (their group
+    layouts shard different axes than plain weights, mesh.quant_leaf_spec).
+    """
     if mesh is None:
         return None
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from nano_vllm_candle_tpu.parallel.mesh import _LAYER_KINDS, _spec_for
+    from nano_vllm_candle_tpu.parallel.mesh import (
+        _LAYER_KINDS, _spec_for, quant_leaf_spec,
+    )
 
     if name in _LAYER_KINDS:
-        spec = _spec_for(_LAYER_KINDS[name], ndim)
+        kind = _LAYER_KINDS[name]
+        if leaf_key in ("q", "q4", "s"):
+            spec = quant_leaf_spec(kind, leaf_key, ndim)
+        else:
+            spec = _spec_for(kind, ndim)
     elif name == "lm_head":
-        spec = P(None, "tp")
+        if leaf_key in ("q", "q4", "s"):
+            spec = quant_leaf_spec("col", leaf_key, ndim)  # vocab on tp
+        else:
+            spec = P(None, "tp")
     elif name == "embed_tokens":
         spec = P("tp", None)  # vocab-parallel (see mesh.qwen3_param_pspecs)
     else:  # norm
@@ -108,8 +121,8 @@ def _sharding_for(name: str, ndim: int, mesh):
     return NamedSharding(mesh, spec)
 
 
-def _place(x: jax.Array, name: str, mesh) -> jax.Array:
-    sh = _sharding_for(name, x.ndim, mesh)
+def _place(x: jax.Array, name: str, mesh, leaf_key=None) -> jax.Array:
+    sh = _sharding_for(name, x.ndim, mesh, leaf_key=leaf_key)
     return jax.device_put(x, sh) if sh is not None else x
 
 
@@ -256,5 +269,8 @@ def load_quantized_checkpoint(art_dir: str, mesh=None) -> Dict[str, Any]:
                 node = node.setdefault(p, {})
             # sharding: layer params are named layers/<name>/<q|q4|s>
             pname = parts[1] if parts[0] == "layers" else parts[0]
-            node[parts[-1]] = _place(jnp.asarray(arr), pname, mesh)
+            leaf_key = parts[-1] if parts[-1] in ("q", "q4", "s") else None
+            node[parts[-1]] = _place(
+                jnp.asarray(arr), pname, mesh, leaf_key=leaf_key
+            )
     return params

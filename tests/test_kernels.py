@@ -584,13 +584,16 @@ class TestRowsCommitAllKernel:
         )
         return kvc, rows, slots
 
-    def test_matches_xla_twin_bf16(self):
+    @pytest.mark.parametrize("batched", [True, False])
+    def test_matches_xla_twin_bf16(self, batched):
         from nano_vllm_candle_tpu.kernels.kv_commit import (
             pallas_rows_commit_all,
         )
 
         kvc, rows, slots = self._case()
-        got, _ = pallas_rows_commit_all(kvc, rows, slots, interpret=True)
+        got, _ = pallas_rows_commit_all(
+            kvc, rows, slots, interpret=True, batched=batched
+        )
         ref, _ = qwen3._write_kv_all_layers(kvc, None, rows, slots)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
         # every layer's row landed (not just layer 0)
@@ -601,7 +604,8 @@ class TestRowsCommitAllKernel:
                 after[li, s // 16, 0, :, s % 16], np.asarray(rows[li, 0, 0])
             )
 
-    def test_matches_xla_twin_int8(self):
+    @pytest.mark.parametrize("batched", [True, False])
+    def test_matches_xla_twin_int8(self, batched):
         from nano_vllm_candle_tpu.kernels.kv_commit import (
             pallas_rows_commit_all,
         )
@@ -611,7 +615,7 @@ class TestRowsCommitAllKernel:
         kv8 = jnp.zeros((L, P, 2, nkv, ps, hd), jnp.int8)
         sc = jnp.zeros((L, P, 2, nkv, ps), jnp.float32)
         got, gots = pallas_rows_commit_all(
-            kv8, rows, slots, kv_scale=sc, interpret=True
+            kv8, rows, slots, kv_scale=sc, interpret=True, batched=batched
         )
         ref, refs = qwen3._write_kv_all_layers(kv8, sc, rows, slots)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

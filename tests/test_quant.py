@@ -50,7 +50,7 @@ class TestQuantizeWeight:
         # nibble-packed: two 4-bit values per uint8 byte along the group axis
         assert qw["q4"].dtype == jnp.uint8
         assert qw["q4"].shape == (2, 2, 64, 64)
-        assert qw["s"].shape == (2, 2, 1, 64)
+        assert qw["s"].shape == (2, 2, 64)
 
     def test_int4_pack_roundtrip(self):
         from nano_vllm_candle_tpu.layers.linear import _pack_nibbles, _unpack_nibbles
