@@ -205,6 +205,15 @@ def _decode_kernel(
 
 SEQ_BLOCK = 8  # sequences per grid step (grouped kernel)
 
+#: Page-buffer slots of the grouped kernel = lookahead depth + 1. Round 3
+#: ran double-buffered (one page of lookahead); the 16k A/B measured the
+#: per-page stream at only ~0.3-0.45 of the DMA floor with shallow
+#: lookahead, so the walk now keeps NSLOTS-1 pages in flight.
+#: (fold_commit keeps 2 — its commit phase addresses kbuf slots by the
+#: same parity formula, which stays valid for any NSLOTS, but its
+#: prefetch-after-commit structure was only validated at depth 1.)
+GROUPED_NSLOTS = 4
+
 
 def _grouped_kernel(
     # scalar prefetch
@@ -219,6 +228,7 @@ def _grouped_kernel(
     scale: float,
     page_size: int,
     num_pages_per_seq: int,
+    chunk_pages: int,
     quantized: bool,
     fold_commit: bool = False,
 ):
@@ -233,8 +243,15 @@ def _grouped_kernel(
         o_ref, kbuf, sems, m_ref, l_ref, acc_ref = rest
         sbuf = None
     i = pl.program_id(0)
+    # Page-CHUNK grid dim (lifts the static-unroll W cap): chunk ``wc``
+    # walks pages [wc*WC, (wc+1)*WC); softmax state persists in scratch
+    # across chunks (wc is the fastest grid dim, so a group's chunks are
+    # consecutive) and the fold/emit runs on the last chunk only.
+    wc = pl.program_id(1)
+    nWC = pl.num_programs(1)
     ps = page_size
-    W = num_pages_per_seq
+    W = num_pages_per_seq  # FULL padded page count (parity/guard space)
+    WC = chunk_pages
     SB, nkv, g2, hd = qn_ref.shape
     g = g2 - 2
     nq = nkv * g
@@ -252,9 +269,14 @@ def _grouped_kernel(
         return (w * ps <= n_p) if fold_commit else (w * ps < n_p)
 
     # Buffer slots follow the GLOBAL page counter (i*W + w) so prefetching
-    # the NEXT group's first page from the tail of this group keeps parity.
+    # across chunk/group boundaries keeps parity. NS buffer slots give
+    # NS-1 pages of DMA lookahead (clamped to W: each grid step must issue
+    # its successor's first pages or the successor's waits deadlock).
+    NS = 2 if fold_commit else GROUPED_NSLOTS
+    LOOK = min(NS - 1, W)
+
     def slot_of(w):
-        return (i * W + w) % 2
+        return (i * W + w) % NS
 
     def start_dmas(grp, w, slot):
         """Issue the SB page DMAs of (group, page-index) into ``slot``.
@@ -294,9 +316,11 @@ def _grouped_kernel(
                         sems.at[slot, sb, 1],
                     ).wait()
 
-    m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
-    l_ref[...] = jnp.zeros_like(l_ref)
-    acc_ref[...] = jnp.zeros_like(acc_ref)
+    @pl.when(wc == 0)
+    def _init_stats():
+        m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q_all = qn_ref[:, :, :g]  # [SB, nkv, g, hd]
 
@@ -312,25 +336,43 @@ def _grouped_kernel(
             out = jnp.where(sb_of_row == sb, values[sb], out)
         return out
 
-    @pl.when(i == 0)
-    def _first():  # later groups' first pages are prefetched by group i-1
-        start_dmas(0, 0, slot_of(0))
+    @pl.when((i == 0) & (wc == 0))
+    def _first():
+        # Fill the whole lookahead pipeline for the very first grid step;
+        # every later step's leading pages are prefetched by predecessors.
+        for j in range(LOOK):
+            start_dmas(0, j, slot_of(j))
 
-    for w in range(W):  # static unroll; per-sequence scalar DMA guards
-        slot = slot_of(w)
-        if w + 1 < W:
-            start_dmas(i, w + 1, slot_of(w + 1))
-        elif not fold_commit:
-            # Prefetch the NEXT group's first page under this group's
-            # compute — the cross-grid-step overlap the automatic pipeline
-            # had and the first grouped revision lost (measured: bs64 int4
-            # 12.9k -> 12.1k tok/s without it). With fold_commit the
-            # prefetch moves AFTER the commit phase, which reads kbuf at a
-            # per-sequence dynamic slot the prefetch would clobber.
-            @pl.when(i + 1 < n_groups)
+    for w in range(WC):  # static unroll; per-sequence scalar DMA guards
+        gw_t = wc * WC + w  # global page index (traced via wc)
+        slot = slot_of(gw_t)
+        if fold_commit:
+            # Depth-1 pipeline, in-chunk only (single chunk asserted): the
+            # commit phase reads kbuf at per-sequence dynamic slots, which
+            # a deeper/cross-group prefetch would clobber; its prefetch
+            # runs AFTER the commit instead.
+            if w + 1 < WC:
+                start_dmas(i, w + 1, slot_of(w + 1))
+        else:
+            # Keep LOOK pages in flight: issue the page LOOK ahead of this
+            # one — in this group (possibly the next chunk) or, past the
+            # table end, the NEXT group's early pages (the cross-grid-step
+            # overlap the automatic pipeline had; without even depth-1 of
+            # it, bs64 int4 measured 12.9k -> 12.1k tok/s in round 3).
+            # Every page is issued exactly once: in-group by the iteration
+            # LOOK behind it, or by the predecessor group's tail (LOOK is
+            # clamped to W so the coverage never skips a group).
+            tg = gw_t + LOOK
+            tslot = slot_of(tg)
+
+            @pl.when(tg < W)
             def _():
-                start_dmas(i + 1, 0, slot_of(w + 1))
-        wait_dmas(slot, w)
+                start_dmas(i, tg, tslot)
+
+            @pl.when((tg >= W) & (i + 1 < n_groups))
+            def _():
+                start_dmas(i + 1, tg - W, tslot)
+        wait_dmas(slot, gw_t)
 
         # (SB, nkv) flattened into ONE batch dim: Mosaic's tpu.matmul
         # supports at most one batched dimension.
@@ -350,7 +392,7 @@ def _grouped_kernel(
             ks = sbuf[slot, :, 0].reshape(SB * nkv, ps)  # f32
             s = s * ks[:, None, :]
 
-        token_idx = w * ps + jax.lax.broadcasted_iota(
+        token_idx = gw_t * ps + jax.lax.broadcasted_iota(
             jnp.int32, (SB * nkv, g, ps), 2
         )
         npg = per_row_scalar((SB * nkv, g, ps), 0, nkv, npaged, 0)
@@ -365,7 +407,7 @@ def _grouped_kernel(
         # per-page kernel sidesteps both with pl.when — here the group
         # shares one compute, so the masks are explicit.
         row_npg = per_row_scalar((SB * nq, 1), 0, nq, npaged, 0)
-        row_active = w * ps < row_npg
+        row_active = gw_t * ps < row_npg
 
         m_prev = m_ref[:, :1]  # [SB*nq, 1]
         l_prev = l_ref[:, :1]
@@ -390,26 +432,31 @@ def _grouped_kernel(
         pv = jnp.where(row_active, pv, 0.0)
         acc_ref[...] = acc_ref[...] * alpha + pv
 
-    # Fold the current token from registers, normalize, emit.
-    q_f = q_all.astype(jnp.float32)
-    k_new = qn_ref[:, :, g].astype(jnp.float32)  # [SB, nkv, hd]
-    v_new = qn_ref[:, :, g + 1].astype(jnp.float32)
-    s_new = jnp.sum(q_f * k_new[:, :, None, :], axis=-1) * scale  # [SB,nkv,g]
-    # active = seq_len > 0 <=> npaged > -1, via the same per-row select.
-    row_npg = per_row_scalar((SB * nq, 1), 0, nq, npaged, -1)
-    active = row_npg > -1  # [SB*nq, 1] bool
-    s2 = jnp.where(active, s_new.reshape(SB * nq, 1), MASK_VALUE)
-    m_prev = m_ref[:, :1]
-    l_prev = l_ref[:, :1]
-    m_next = jnp.maximum(m_prev, s2)
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s2 - m_next)
-    p = jnp.where(active, p, 0.0)
-    l = alpha * l_prev + p
-    vb = jnp.broadcast_to(v_new[:, :, None, :], (SB, nkv, g, hd))
-    acc = acc_ref[...] * alpha + p * vb.reshape(SB * nq, hd)
-    safe_l = jnp.where(l == 0.0, 1.0, l)
-    o_ref[...] = (acc / safe_l).reshape(SB, nkv, g, hd).astype(o_ref.dtype)
+    # Fold the current token from registers, normalize, emit — on the
+    # group's LAST page chunk only (earlier chunks just accumulate stats).
+    @pl.when(wc == nWC - 1)
+    def _fold_and_emit():
+        q_f = q_all.astype(jnp.float32)
+        k_new = qn_ref[:, :, g].astype(jnp.float32)  # [SB, nkv, hd]
+        v_new = qn_ref[:, :, g + 1].astype(jnp.float32)
+        s_new = jnp.sum(
+            q_f * k_new[:, :, None, :], axis=-1
+        ) * scale  # [SB,nkv,g]
+        # active = seq_len > 0 <=> npaged > -1, via the same per-row select.
+        row_npg = per_row_scalar((SB * nq, 1), 0, nq, npaged, -1)
+        active = row_npg > -1  # [SB*nq, 1] bool
+        s2 = jnp.where(active, s_new.reshape(SB * nq, 1), MASK_VALUE)
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_next = jnp.maximum(m_prev, s2)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s2 - m_next)
+        p = jnp.where(active, p, 0.0)
+        l = alpha * l_prev + p
+        vb = jnp.broadcast_to(v_new[:, :, None, :], (SB, nkv, g, hd))
+        acc = acc_ref[...] * alpha + p * vb.reshape(SB * nq, hd)
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[...] = (acc / safe_l).reshape(SB, nkv, g, hd).astype(o_ref.dtype)
 
     if not fold_commit:
         return
@@ -477,11 +524,16 @@ def _grouped_kernel(
             ).wait()
 
 
-#: Widest block table the grouped kernel accepts: its page loop is a static
-#: unroll (W iterations of SB DMA issues + one batched fold), so very long
-#: contexts would balloon the Mosaic program; the per-page grid kernel
-#: handles those (its grid is runtime-sized).
+#: Pages per grid step of the grouped kernel's page walk (a static unroll
+#: of SB DMA issues + one batched fold per page). Tables wider than this
+#: walk MULTIPLE page-chunk grid steps with the softmax state persisting in
+#: scratch — the round-3 hard cap (reject W > 16 outright) is lifted.
 MAX_GROUPED_W = 16
+
+#: Widest table the grouped kernel accepts via chunking (256 pages = 64k
+#: tokens at ps=256); beyond this the per-page kernel's runtime grid wins
+#: on compile time.
+MAX_GROUPED_W_CHUNKED = 256
 
 
 def grouped_supported(
@@ -494,10 +546,12 @@ def grouped_supported(
     pipeline wins — its cross-grid-step DMA overlap runs deeper than the
     grouped kernel's one-page lookahead, and wider pages make that overlap
     matter more (bf16 bs8: 3,020 vs 2,887 grouped; int8-weights/bf16-KV
-    bs64: 11.6k vs 11.5k)."""
+    bs64: 11.6k vs 11.5k). Batches that aren't a SEQ_BLOCK multiple are
+    padded with inactive rows by the caller (scalar-guarded: no DMA or
+    compute), so only the B >= 16 perf floor remains."""
     return (
-        fold_new and not return_stats and B % SEQ_BLOCK == 0
-        and B >= 16 and W <= MAX_GROUPED_W
+        fold_new and not return_stats
+        and B >= 16 and W <= MAX_GROUPED_W_CHUNKED
         and kv_dtype == jnp.int8
         # The manual scale-plane DMA copies [2, nkv, ps] f32 blocks whose
         # minor dim must be 128-tile-aligned (Mosaic rejects ps=64:
@@ -517,8 +571,25 @@ def _grouped_call(
     SB = SEQ_BLOCK
     quantized = kv_scale is not None
     assert not fold_commit or quantized, "fold_commit requires int8 KV"
+    # Page-chunk grid: the static page unroll covers WC pages per grid
+    # step; longer tables walk multiple chunks with the softmax state
+    # persisting in scratch. Pad the table width to a chunk multiple by
+    # repeating each row's last page — the fetch guards (w*ps < seq_len-1)
+    # never touch the padding.
+    WC = min(W, MAX_GROUPED_W)
+    if W % WC:
+        padW = WC - W % WC
+        block_tables = jnp.concatenate(
+            [block_tables] + [block_tables[:, -1:]] * padW, axis=1
+        )
+        W = W + padW
+    nWC = W // WC
+    assert not fold_commit or nWC == 1, (
+        "fold_commit requires a single page chunk (its commit phase reads "
+        "the current token's page from this chunk's kbuf slots)"
+    )
 
-    def qn_map(i, *_):
+    def qn_map(i, wc, *_):
         return (i, 0, 0, 0)
 
     in_specs = [
@@ -545,12 +616,13 @@ def _grouped_call(
         )
         # operand index (after the 3 scalar-prefetch args): kv=4, scale=5
         io_aliases = {4: 1, 5: 2}
+    NS = 2 if fold_commit else GROUPED_NSLOTS
     scratch = [
-        pltpu.VMEM((2, SB, 2, nkv, ps, hd), kv_cache.dtype),  # kbuf
+        pltpu.VMEM((NS, SB, 2, nkv, ps, hd), kv_cache.dtype),  # kbuf
     ]
     if quantized:
-        scratch.append(pltpu.VMEM((2, SB, 2, nkv, ps), jnp.float32))  # sbuf
-    scratch.append(pltpu.SemaphoreType.DMA((2, SB, 2)))
+        scratch.append(pltpu.VMEM((NS, SB, 2, nkv, ps), jnp.float32))  # sbuf
+    scratch.append(pltpu.SemaphoreType.DMA((NS, SB, 2)))
     if fold_commit:
         scratch += [
             pltpu.VMEM((SB, 2, nkv, 8, hd), kv_cache.dtype),  # cbuf
@@ -564,13 +636,13 @@ def _grouped_call(
     ]
     kernel = functools.partial(
         _grouped_kernel, scale=scale, page_size=ps, num_pages_per_seq=W,
-        quantized=quantized, fold_commit=fold_commit,
+        chunk_pages=WC, quantized=quantized, fold_commit=fold_commit,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(B // SB,),
+            grid=(B // SB, nWC),
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=scratch,
@@ -578,7 +650,7 @@ def _grouped_call(
         out_shape=out_shape,
         input_output_aliases=io_aliases,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
@@ -613,6 +685,11 @@ def pallas_paged_decode_commit(
     null-page routing for speculative overshoot).
     """
     B, nq, hd = q.shape
+    if B % SEQ_BLOCK:
+        raise ValueError(
+            f"fold_commit path needs B % {SEQ_BLOCK} == 0 (got {B}); the "
+            "attention-only path pads instead"
+        )
     L, P, _, nkv, ps, _ = kv_cache.shape
     g = nq // nkv
     qn = jnp.concatenate(
@@ -703,27 +780,45 @@ def pallas_paged_decode_attention(
         # obscure layout error, so fail loudly here instead. Interpret mode
         # has no Mosaic tiling rules, so tests may keep exercising small
         # shapes there.
-        if not (fold_new and not return_stats and B % SEQ_BLOCK == 0):
+        if not (fold_new and not return_stats):
             raise ValueError(
-                "force_grouped needs fold_new (new_k/new_v), "
-                f"return_stats=False and B % {SEQ_BLOCK} == 0 (got B={B})"
+                "force_grouped needs fold_new (new_k/new_v) and "
+                "return_stats=False"
             )
         ps_ = kv_cache.shape[-2]
-        if not interpret and (W > MAX_GROUPED_W or ps_ % 128 != 0):
+        if not interpret and (W > MAX_GROUPED_W_CHUNKED or ps_ % 128 != 0):
             raise ValueError(
                 f"force_grouped structural limits on TPU: W={W} must be <= "
-                f"{MAX_GROUPED_W} and page_size={ps_} a multiple of 128 "
-                "(the scale-plane DMA's minor-dim tiling)"
+                f"{MAX_GROUPED_W_CHUNKED} and page_size={ps_} a multiple of "
+                "128 (the scale-plane DMA's minor-dim tiling)"
             )
     if (
         grouped_supported(B, fold_new, return_stats, W, kv_cache.dtype,
                           kv_cache.shape[-2])
         or force_grouped
     ):
-        return _grouped_call(
-            qn, kv_cache, kv_scale, li, seq_lens, block_tables, scale,
-            interpret,
-        ).reshape(B, nq, hd)
+        # Pad the batch to a SEQ_BLOCK multiple with inactive rows
+        # (seq_len 0, null-page tables): every per-sequence DMA and the
+        # whole compute row are scalar-guarded, so padding costs neither
+        # bandwidth nor FLOPs.
+        padB = (-B) % SEQ_BLOCK
+        if padB:
+            qn_c = jnp.concatenate(
+                [qn, jnp.zeros((padB, *qn.shape[1:]), qn.dtype)], axis=0
+            )
+            sl_c = jnp.concatenate(
+                [seq_lens, jnp.zeros((padB,), seq_lens.dtype)]
+            )
+            bt_c = jnp.concatenate(
+                [block_tables,
+                 jnp.zeros((padB, W), block_tables.dtype)], axis=0
+            )
+        else:
+            qn_c, sl_c, bt_c = qn, seq_lens, block_tables
+        out = _grouped_call(
+            qn_c, kv_cache, kv_scale, li, sl_c, bt_c, scale, interpret,
+        )
+        return out[:B].reshape(B, nq, hd)
 
     def qn_map(b, w, *_):
         return (b, 0, 0, 0)

@@ -182,6 +182,42 @@ class TestPagedDecodeKernel:
             rtol=2e-5, atol=2e-5,
         )
 
+    def test_grouped_kernel_chunked_page_walk(self):
+        """W wider than MAX_GROUPED_W walks multiple page-chunk grid steps
+        (softmax state persists across chunks) and still matches the twin.
+        W=24 also exercises the repeat-last-page table padding to a chunk
+        multiple."""
+        from nano_vllm_candle_tpu.kernels import paged_decode as pd
+
+        q, kvc, bt, sl, nk, nv = make_case(
+            B=8, W=24, ps=8, P=256, seed=21
+        )
+        scale = q.shape[-1] ** -0.5
+        ref = twin_with_current_rows(q, kvc, bt, sl, nk, nv, scale)
+        out = pallas_paged_decode_attention(
+            q, kvc, bt, sl, scale, nk, nv, interpret=True,
+            force_grouped=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    @pytest.mark.parametrize("B", [4, 12])
+    def test_grouped_kernel_batch_padding(self, B):
+        """B not a SEQ_BLOCK multiple is padded with inactive rows; the
+        sliced output matches the twin on the real rows."""
+        q, kvc, bt, sl, nk, nv = make_case(B=B, P=8 * B + 8, seed=22)
+        scale = q.shape[-1] ** -0.5
+        ref = twin_with_current_rows(q, kvc, bt, sl, nk, nv, scale)
+        out = pallas_paged_decode_attention(
+            q, kvc, bt, sl, scale, nk, nv, interpret=True,
+            force_grouped=True,
+        )
+        assert out.shape == q.shape
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
     def test_grouped_kernel_int8_kv(self):
         q, kvc, bt, sl, nk, nv = make_case(B=8, P=64, seed=11)
         P_, _, nkv_, ps_, _ = kvc.shape

@@ -27,7 +27,7 @@ import numpy as np
 
 
 def run_impl(attn_impl: str, quant, kv_dtype: str, prompts, steps: int,
-             forced: np.ndarray):
+             forced: np.ndarray, lm_head_int8: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -41,6 +41,10 @@ def run_impl(attn_impl: str, quant, kv_dtype: str, prompts, steps: int,
     params = qwen3.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
     if quant:
         params = quantize_qwen3_params(params, bits=quant)
+    if lm_head_int8:
+        from nano_vllm_candle_tpu.layers.linear import quantize_lm_head
+
+        params = quantize_lm_head(params)
     prm = fuse_qwen3_params(params)
     # ps=128 so batch >= 16 + int8 KV exercises the GROUPED decode kernel
     # (its scale-plane DMA needs ps % 128 == 0; see grouped_supported)
@@ -80,7 +84,7 @@ def run_impl(attn_impl: str, quant, kv_dtype: str, prompts, steps: int,
         h, kv = qwen3.forward(
             prm, kv, batch, config=cfg, mode="prefill", attn_impl=attn_impl
         )
-        return qwen3.compute_logits(prm, h), kv
+        return qwen3.compute_logits(prm, h, impl=attn_impl), kv
 
     logits0, kv = pre(prm, kv)
     out = [np.asarray(logits0, np.float32)]
@@ -98,7 +102,7 @@ def run_impl(attn_impl: str, quant, kv_dtype: str, prompts, steps: int,
         h, kv = qwen3.forward(
             prm, kv, b2, config=cfg, mode="decode", attn_impl=attn_impl
         )
-        return qwen3.compute_logits(prm, h), kv
+        return qwen3.compute_logits(prm, h, impl=attn_impl), kv
 
     lens_a = np.asarray([len(p) for p in prompts], np.int32)
     for s in range(steps):
@@ -121,6 +125,9 @@ def main():
     ap.add_argument("--tol", type=float, default=0.25,
                     help="max |logit delta| (bf16 reordering allowance; "
                     "logit scale is O(10))")
+    ap.add_argument("--no-lm-head-int8", action="store_true",
+                    help="disable the int8 logits head (it is the serving "
+                    "default, so VERIFY covers its pallas-vs-XLA parity)")
     ap.add_argument("--batch", type=int, default=4,
                     help="number of sequences; >= 16 with int8 KV routes "
                     "decode through the GROUPED manual-DMA kernel "
@@ -139,15 +146,19 @@ def main():
         10, 151000, (args.steps, len(prompts))
     ).astype(np.int32)
 
+    lm8 = not args.no_lm_head_int8
     ref = run_impl("xla", args.quantization, args.kv_cache_dtype,
-                   prompts, args.steps, forced)
+                   prompts, args.steps, forced, lm_head_int8=lm8)
     got = run_impl("pallas", args.quantization, args.kv_cache_dtype,
-                   prompts, args.steps, forced)
+                   prompts, args.steps, forced, lm_head_int8=lm8)
 
-    # Under int8 KV the impls are algorithmically different on the current
-    # token (the pallas fold uses the exact bf16 row; the twin reads it
-    # back quantized) — widen the tolerance accordingly.
-    tol = args.tol if args.kv_cache_dtype != "int8" else max(args.tol, 1.0)
+    # Round 4: the XLA twin folds the current token exactly too
+    # (ops/attention.paged_decode_attention new_k/new_v), so the impls are
+    # algorithmically identical under int8 KV as well; the residual delta
+    # is f32-softmax reordering plus bf16 matmul-order noise. Keep a
+    # mildly widened int8-KV tolerance for the quantized-page rounding
+    # interacting with different accumulation orders.
+    tol = args.tol if args.kv_cache_dtype != "int8" else max(args.tol, 0.5)
     ok = True
     for s, (x, y) in enumerate(zip(ref, got)):
         d = float(np.abs(x - y).max())
