@@ -549,10 +549,20 @@ def grouped_supported(
     bs64: 11.6k vs 11.5k). Batches that aren't a SEQ_BLOCK multiple are
     padded with inactive rows by the caller (scalar-guarded: no DMA or
     compute), so only the B >= 16 perf floor remains."""
+    import os
+
+    # Experiment escape: NVCT_GROUPED_BF16=1 lets bf16 pages take the
+    # grouped path too (A/B harness for the perf gate; the DMA-lookahead
+    # depth changed in round 4, so the round-3 "parity at bs64" data that
+    # set the int8-only gate may be stale).
+    kv_ok = kv_dtype == jnp.int8 or (
+        os.environ.get("NVCT_GROUPED_BF16") == "1"
+        and kv_dtype == jnp.bfloat16
+    )
     return (
         fold_new and not return_stats
         and B >= 16 and W <= MAX_GROUPED_W_CHUNKED
-        and kv_dtype == jnp.int8
+        and kv_ok
         # The manual scale-plane DMA copies [2, nkv, ps] f32 blocks whose
         # minor dim must be 128-tile-aligned (Mosaic rejects ps=64:
         # "Slice shape along dimension 4 must be aligned to tiling (128)").
