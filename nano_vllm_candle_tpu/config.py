@@ -201,12 +201,13 @@ class EngineConfig:
     kv_cache_dtype: str = "bfloat16"  # or "int8"
     quantization: Optional[str] = None  # None | "int8" | "int4" (weight-only)
     quant_group_size: int = 128  # sub-channel group along the contraction dim
-    # Logits-matmul weight dtype ("bfloat16" | "int8"). The lm_head re-read
-    # is a first-order decode cost (311 MB/step tied at 0.6B = ~20% of the
-    # bs8 device budget; 1.24 GB/step untied at 8B) — int8 halves it. Tied
-    # models keep the bf16 embedding for the gather and add a quantized
-    # head copy (layers/linear.quantize_lm_head); argmax-parity and
-    # Δppl gated (tests/test_quant.py, tests/test_evals.py).
+    # Logits-matmul weight dtype ("bfloat16" | "int8" | "int4"). The
+    # lm_head re-read is a first-order decode cost (311 MB/step tied at
+    # 0.6B = ~20% of the bs8 device budget; 1.24 GB/step untied at 8B) —
+    # int8 halves it and is the default (argmax-parity and Δppl gated,
+    # tests/test_quant.py / tests/test_evals.py). int4 quarters the read
+    # for another ~2% end-to-end but perturbs logits more; opt-in, gated
+    # by the same Δppl harness.
     lm_head_dtype: str = "int8"
     prefill_buckets: Sequence[int] = DEFAULT_PREFILL_BUCKETS
     use_pallas_kernels: bool = True  # pallas kernels on TPU, XLA fallback elsewhere

@@ -88,9 +88,9 @@ class LLM:
                     config, jax.random.key(engine_config.seed),
                     dtype=jnp.dtype(engine_config.dtype),
                 )
-        if engine_config.lm_head_dtype not in ("bfloat16", "int8"):
+        if engine_config.lm_head_dtype not in ("bfloat16", "int8", "int4"):
             raise ValueError(
-                f"lm_head_dtype must be bfloat16 or int8, got "
+                f"lm_head_dtype must be bfloat16, int8 or int4, got "
                 f"{engine_config.lm_head_dtype!r}"
             )
         if engine_config.quantization is not None:
@@ -121,11 +121,11 @@ class LLM:
                     group_size=engine_config.quant_group_size,
                 )
 
-        if engine_config.lm_head_dtype == "int8":
+        if engine_config.lm_head_dtype in ("int8", "int4"):
             from nano_vllm_candle_tpu.layers.linear import quantize_lm_head
 
             params = quantize_lm_head(
-                params, bits="int8",
+                params, bits=engine_config.lm_head_dtype,
                 group_size=engine_config.quant_group_size,
             )
 

@@ -195,3 +195,28 @@ class TestInt8LmHead:
             [PROMPT], GREEDY
         )[0].token_ids
         assert q8 == fp
+
+    def test_int4_head_opt_in(self, tiny_params):
+        """The int4 head (opt-in) generates and its logits stay close; its
+        accuracy gate is the engine-path Δppl harness (test_evals)."""
+        from nano_vllm_candle_tpu.layers.linear import quantize_lm_head
+
+        out = make_llm(tiny_params, lm_head_dtype="int4").generate(
+            [PROMPT], GREEDY
+        )
+        assert len(out[0].token_ids) == 8
+        qp = quantize_lm_head(tiny_params, bits="int4", group_size=64)
+        assert "q4" in qp["lm_head"]
+        hidden = jax.random.normal(
+            jax.random.key(9), (8, CFG.hidden_size), jnp.float32
+        )
+        fp = np.asarray(qwen3.compute_logits(tiny_params, hidden))
+        q4 = np.asarray(qwen3.compute_logits(qp, hidden))
+        rel = np.linalg.norm(q4 - fp) / np.linalg.norm(fp)
+        # int4's half-step bound at group 64 lands ~0.10 relative on a
+        # tiny random model (measured 0.102)
+        assert rel < 0.12, rel
+
+    def test_bad_head_dtype_rejected(self, tiny_params):
+        with pytest.raises(ValueError, match="lm_head_dtype"):
+            make_llm(tiny_params, lm_head_dtype="int2")
