@@ -462,6 +462,11 @@ def main() -> None:
                         help="weight-only quantization (BASELINE configs 2-4)")
     parser.add_argument("--kv-cache-dtype", default=None,
                         choices=["bfloat16", "int8"])
+    parser.add_argument("--lm-head-dtype", default="int8",
+                        choices=["bfloat16", "int8", "int4"],
+                        help="logits-matmul weight dtype (EngineConfig."
+                             "lm_head_dtype); int8 default halves the "
+                             "per-step head re-read")
     parser.add_argument("--decode-burst", type=int, default=16,
                         help="decode steps per dispatch (on-device scan)")
     parser.add_argument("--pipeline-depth", type=int, default=3,
@@ -576,6 +581,7 @@ def main() -> None:
         dtype=dtype,
         kv_cache_dtype=kv_dtype,
         quantization=args.quantization,
+        lm_head_dtype=args.lm_head_dtype,
         enable_prefix_caching=False,  # distinct prompts; keep bench honest
         use_pallas_kernels=True,
         decode_burst=args.decode_burst,
