@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", metavar="DIR",
                    help="write a jax.profiler trace of generation to DIR "
                         "(view with xprof/tensorboard)")
+    p.add_argument("--tokens-out", metavar="PATH",
+                   help="also write the completion token ids to PATH as JSON "
+                        "(machine-readable channel; stdout can interleave "
+                        "with backend transport logs in multi-process runs)")
     return p
 
 
@@ -189,6 +193,11 @@ def main(argv=None) -> int:
     elapsed = time.perf_counter() - t0
 
     completion = outputs[0].token_ids
+    if args.tokens_out:
+        import json
+
+        with open(args.tokens_out, "w") as f:
+            json.dump(list(map(int, completion)), f)
     print(tokenizer.decode(completion))
     total = len(token_ids) + len(completion)
     print(

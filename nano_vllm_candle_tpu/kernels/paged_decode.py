@@ -268,6 +268,23 @@ def _grouped_kernel(
         n_p = length - 1
         return (w * ps <= n_p) if fold_commit else (w * ps < n_p)
 
+    # Sub-page tail fetch (round 4): a sequence's LAST page is mostly empty
+    # right after it opens (mean occupancy ~50%), and at the bench shape
+    # (ps=256, mean context ~192) the full-page walk reads ~939 MB/step for
+    # ~704 MB of live KV at bs64 — ~25% dead bytes. Fetch the tail page at
+    # quarter-page granularity instead: ceil(live/QS) quarters via one DMA
+    # whose static size is selected by scalar guards (Mosaic DMAs need
+    # static shapes; only one branch fires). Interior pages keep the single
+    # full-page DMA. The scale plane stays full-width — it is ~3% of the
+    # page bytes and its minor (lane) dim cannot slice below 128. INT8
+    # pages only: un-DMA'd scratch rows are masked out of the softmax, and
+    # garbage int8 bits are always finite, but uninitialized bf16 could be
+    # NaN and 0*NaN would poison the p@V accumulation.
+    QS = ps // 4  # 64 tokens at ps=256; int8 sublane tile is 32 — aligned
+    sub_page = (
+        quantized and not fold_commit and ps % 4 == 0 and QS % 32 == 0
+    )
+
     # Buffer slots follow the GLOBAL page counter (i*W + w) so prefetching
     # across chunk/group boundaries keeps parity. NS buffer slots give
     # NS-1 pages of DMA lookahead (clamped to W: each grid step must issue
@@ -287,34 +304,95 @@ def _grouped_kernel(
         """
         gbase = grp * SB
         for sb in range(SB):
-            @pl.when(fetch_wanted(w, seq_lens_ref[gbase + sb]))
-            def _():
-                page = block_tables_ref[gbase + sb, w]
-                pltpu.make_async_copy(
-                    kv_hbm.at[li_ref[0], page],
-                    kbuf.at[slot, sb],
-                    sems.at[slot, sb, 0],
-                ).start()
-                if quantized:
+            length = seq_lens_ref[gbase + sb]
+            if sub_page:
+                live = (length - 1) - w * ps  # live tokens in this page
+
+                # Full page: interior pages AND tails in the last quarter.
+                @pl.when(live > 3 * QS)
+                def _():
+                    page = block_tables_ref[gbase + sb, w]
+                    pltpu.make_async_copy(
+                        kv_hbm.at[li_ref[0], page],
+                        kbuf.at[slot, sb],
+                        sems.at[slot, sb, 0],
+                    ).start()
+
+                for q4 in (1, 2, 3):  # tail page: ceil(live/QS) quarters
+                    @pl.when((live > (q4 - 1) * QS) & (live <= q4 * QS))
+                    def _(q4=q4):
+                        page = block_tables_ref[gbase + sb, w]
+                        pltpu.make_async_copy(
+                            kv_hbm.at[li_ref[0], page, :, :,
+                                      pl.ds(0, q4 * QS), :],
+                            kbuf.at[slot, sb, :, :, pl.ds(0, q4 * QS), :],
+                            sems.at[slot, sb, 0],
+                        ).start()
+
+                @pl.when(live > 0)
+                def _():
+                    page = block_tables_ref[gbase + sb, w]
                     pltpu.make_async_copy(
                         s_hbm.at[li_ref[0], page],
                         sbuf.at[slot, sb],
                         sems.at[slot, sb, 1],
                     ).start()
+            else:
+                @pl.when(fetch_wanted(w, length))
+                def _():
+                    page = block_tables_ref[gbase + sb, w]
+                    pltpu.make_async_copy(
+                        kv_hbm.at[li_ref[0], page],
+                        kbuf.at[slot, sb],
+                        sems.at[slot, sb, 0],
+                    ).start()
+                    if quantized:
+                        pltpu.make_async_copy(
+                            s_hbm.at[li_ref[0], page],
+                            sbuf.at[slot, sb],
+                            sems.at[slot, sb, 1],
+                        ).start()
 
     def wait_dmas(slot, w):
         for sb in range(SB):
-            @pl.when(fetch_wanted(w, lens[sb]))
-            def _():
-                pltpu.make_async_copy(
-                    kv_hbm.at[li_ref[0], 0], kbuf.at[slot, sb],
-                    sems.at[slot, sb, 0],
-                ).wait()
-                if quantized:
+            if sub_page:
+                live = (lens[sb] - 1) - w * ps
+
+                @pl.when(live > 3 * QS)
+                def _():
+                    pltpu.make_async_copy(
+                        kv_hbm.at[li_ref[0], 0], kbuf.at[slot, sb],
+                        sems.at[slot, sb, 0],
+                    ).wait()
+
+                for q4 in (1, 2, 3):
+                    @pl.when((live > (q4 - 1) * QS) & (live <= q4 * QS))
+                    def _(q4=q4):
+                        pltpu.make_async_copy(
+                            kv_hbm.at[li_ref[0], 0, :, :,
+                                      pl.ds(0, q4 * QS), :],
+                            kbuf.at[slot, sb, :, :, pl.ds(0, q4 * QS), :],
+                            sems.at[slot, sb, 0],
+                        ).wait()
+
+                @pl.when(live > 0)
+                def _():
                     pltpu.make_async_copy(
                         s_hbm.at[li_ref[0], 0], sbuf.at[slot, sb],
                         sems.at[slot, sb, 1],
                     ).wait()
+            else:
+                @pl.when(fetch_wanted(w, lens[sb]))
+                def _():
+                    pltpu.make_async_copy(
+                        kv_hbm.at[li_ref[0], 0], kbuf.at[slot, sb],
+                        sems.at[slot, sb, 0],
+                    ).wait()
+                    if quantized:
+                        pltpu.make_async_copy(
+                            s_hbm.at[li_ref[0], 0], sbuf.at[slot, sb],
+                            sems.at[slot, sb, 1],
+                        ).wait()
 
     @pl.when(wc == 0)
     def _init_stats():
