@@ -109,12 +109,12 @@ class JaxModelRunner:
 
         self._prefill_jit = jax.jit(
             self._prefill_step,
-            static_argnames=("use_top_k", "use_top_p"),
+            static_argnames=("use_top_k", "use_top_p", "greedy_only"),
             donate_argnames=("kv_cache",),
         )
         self._decode_jit = jax.jit(
             self._decode_step,
-            static_argnames=("chained", "use_top_k", "use_top_p"),
+            static_argnames=("chained", "use_top_k", "use_top_p", "greedy_only"),
             donate_argnames=("kv_cache",),
         )
         # last dispatched burst's [K, B] token output (device) for chaining
@@ -145,6 +145,7 @@ class JaxModelRunner:
         *,
         use_top_k: bool,
         use_top_p: bool,
+        greedy_only: bool,
     ):
         batch = qwen3.PrefillBatch(
             token_ids=tok_i32[:, 0],
@@ -167,6 +168,7 @@ class JaxModelRunner:
             rng, logits, seq_f32[:, 0], seq_i32[:, 1], seq_f32[:, 1],
             max_top_k=self.engine_config.max_top_k,
             use_top_k=use_top_k, use_top_p=use_top_p,
+            greedy_only=greedy_only,
         )
         return self._replicate_out(tokens), kv_cache
 
@@ -197,6 +199,7 @@ class JaxModelRunner:
         chained: bool,
         use_top_k: bool,
         use_top_p: bool,
+        greedy_only: bool,
     ):
         """Multi-step decode: ``decode_burst`` forward+sample steps in one
         dispatch, sampled tokens feeding the next step **on device**. Over a
@@ -251,6 +254,7 @@ class JaxModelRunner:
                 rng, logits, seq_f32[:, 0], top_k, seq_f32[:, 1],
                 max_top_k=self.engine_config.max_top_k,
                 use_top_k=use_top_k, use_top_p=use_top_p,
+                greedy_only=greedy_only,
             )
             return (kv_cache, new_tokens), new_tokens
 
@@ -332,7 +336,10 @@ class JaxModelRunner:
                 seq_f32[i, 1] = seq.top_p
         use_top_k = bool((seq_i32[:, 4 if decode else 1] > 0).any())
         use_top_p = bool((seq_f32[:, 1] < 1.0).any())
-        return seq_i32, seq_f32, use_top_k, use_top_p
+        # Padding slots carry temperature 0, so all-zero means every REAL
+        # request is greedy -> compile the argmax-only sampler.
+        greedy_only = bool((seq_f32[:, 0] == 0.0).all())
+        return seq_i32, seq_f32, use_top_k, use_top_p, greedy_only
 
     def _build_prefill_tokens(self, seqs: List[Sequence], seq_i32: np.ndarray):
         """Packed token stream int32 [T, 4] (token, position, seg, slot);
@@ -409,7 +416,8 @@ class JaxModelRunner:
         and the queued bursts back to back with no host round trip)."""
         step = self._put(np.int32(self._step_counter))
         self._step_counter += 1
-        seq_i32, seq_f32, use_top_k, use_top_p = self._seq_arrays(seqs, decode=False)
+        seq_i32, seq_f32, use_top_k, use_top_p, greedy_only = \
+            self._seq_arrays(seqs, decode=False)
         tok_i32 = self._build_prefill_tokens(seqs, seq_i32)
         chunk = None
         if seqs[0].num_computed_tokens > 0:
@@ -432,6 +440,7 @@ class JaxModelRunner:
             self._put(seq_i32, self._dp_spec() if self.mesh else None),
             self._put(seq_f32, self._dp_spec() if self.mesh else None),
             step, chunk, use_top_k=use_top_k, use_top_p=use_top_p,
+            greedy_only=greedy_only,
         )
         try:
             tokens.copy_to_host_async()
@@ -463,7 +472,7 @@ class JaxModelRunner:
         step = self._put(np.int32(self._step_counter))
         self._step_counter += 1
         offset = self.decode_burst * inflight if chained else 0
-        seq_i32, seq_f32, use_top_k, use_top_p = self._seq_arrays(
+        seq_i32, seq_f32, use_top_k, use_top_p, greedy_only = self._seq_arrays(
             seqs, decode=True, pos_offset=offset
         )
         if chained:
@@ -475,6 +484,7 @@ class JaxModelRunner:
             self._put(seq_i32, self._dp_spec() if self.mesh else None),
             self._put(seq_f32, self._dp_spec() if self.mesh else None),
             prev, step, chained=chained, use_top_k=use_top_k, use_top_p=use_top_p,
+            greedy_only=greedy_only,
         )
         self._chain_tokens = tokens
         try:

@@ -68,6 +68,7 @@ def sample_tokens(
     max_top_k: int = 64,
     use_top_k: bool = True,
     use_top_p: bool = True,
+    greedy_only: bool = False,
 ) -> jax.Array:
     """Sample one token id per row.
 
@@ -80,12 +81,20 @@ def sample_tokens(
       max_top_k: static top-k bound (compile-time).
       use_top_k/use_top_p: static flags letting the runner compile cheaper
         variants when no request in the batch uses the feature.
+      greedy_only: static flag — every row has temperature 0, so compile
+        argmax alone. Without it the per-row ``where(temperature == 0)``
+        select forces XLA to evaluate BOTH branches, and the categorical
+        branch's gumbel noise + full-vocab reductions measured ~2.9 ms of
+        (partially overlapped) device time per step at bs64 even when no
+        row ever used it.
 
     Returns:
       ``[B]`` int32 token ids.
     """
     logits = logits.astype(jnp.float32)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if greedy_only:
+        return greedy
 
     safe_temp = jnp.where(temperature > 0, temperature, 1.0)
     scaled = logits / safe_temp[:, None]

@@ -230,6 +230,15 @@ class TestSampling:
             out = sample_tokens(jax.random.key(i), logits, t, k, p)
             assert int(out[0]) == 0
 
+    def test_greedy_only_matches_general_path(self):
+        logits = jnp.array([[0.1, 5.0, -1.0], [2.0, 0.0, 1.9]], jnp.float32)
+        t, k, p = self._vecs(2, temp=0.0)
+        fast = sample_tokens(
+            jax.random.key(0), logits, t, k, p, greedy_only=True
+        )
+        slow = sample_tokens(jax.random.key(0), logits, t, k, p)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
     def test_mixed_greedy_and_sampled(self):
         logits = jnp.array([[0.0, 4.0], [4.0, 0.0]], jnp.float32)
         t = jnp.array([0.0, 1.0], jnp.float32)
