@@ -162,6 +162,161 @@ def pallas_commit_groups(
 NBUF = 4
 
 
+def _rows_fused_kernel(
+    pages_ref, row8_ref, rowin_ref,
+    rows_ref,  # [L, B, 2, nkv, hd] ALL layers' rows (whole-array VMEM block)
+    kv_any,    # aliased full cache (ANY; present only for aliasing)
+    *rest,
+    quantized: bool,
+    B: int,
+):
+    """Grid ``(1,)``: one in-kernel pipelined loop over the B slots where
+    each window DMA spans ALL L layers at once — a slot's page index is
+    the same for every layer, so ``kv[:, page, :, :, w8*G:(w8+1)*G, :]``
+    is one strided descriptor (L chunks of one window each). This
+    collapses the DMA issue count from L*B*4 (the per-layer ``(L,)`` grid:
+    ~7k issues at L28/bs64, whose issue overhead dominated the kernel's
+    ~2x-over-DMA-floor cost) to B*4."""
+    if quantized:
+        (s_any, kv_out, s_out, rbuf, obuf, prbuf, pobuf,
+         rsem, wsem) = rest
+    else:
+        kv_out, rbuf, obuf, rsem, wsem = rest
+    G = GROUP
+    L, _, _, nkv, hd = rows_ref.shape
+    ps = kv_out.shape[-2]
+
+    def read_win(j, b):
+        return pltpu.make_async_copy(
+            kv_out.at[:, pages_ref[j], :, :, pl.ds(row8_ref[j] * G, G), :],
+            rbuf.at[b], rsem.at[b, 0],
+        )
+
+    def write_win(j, b):
+        return pltpu.make_async_copy(
+            obuf.at[b],
+            kv_out.at[:, pages_ref[j], :, :, pl.ds(row8_ref[j] * G, G), :],
+            wsem.at[b, 0],
+        )
+
+    def read_plane(j, b):
+        return pltpu.make_async_copy(
+            s_out.at[:, pages_ref[j]], prbuf.at[b], rsem.at[b, 1])
+
+    def write_plane(j, b):
+        return pltpu.make_async_copy(
+            pobuf.at[b], s_out.at[:, pages_ref[j]], wsem.at[b, 1])
+
+    for j in range(min(NBUF, B)):
+        read_win(j, j).start()
+        if quantized:
+            read_plane(j, j).start()
+
+    for j in range(B):
+        b = j % NBUF
+        read_win(j, b).wait()
+        if quantized:
+            read_plane(j, b).wait()
+        if j >= NBUF:  # free obuf[b]: write j-NBUF landed long ago
+            write_win(j - NBUF, b).wait()
+            if quantized:
+                write_plane(j - NBUF, b).wait()
+        row = rows_ref[:, j].astype(jnp.float32)  # [L, 2, nkv, hd]
+        if quantized:
+            amax = jnp.max(jnp.abs(row), axis=-1)  # [L, 2, nkv]
+            scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+            ins = jnp.clip(jnp.round(row / scale[..., None]), -127, 127)
+            scol = row8_ref[j] * G + rowin_ref[j]
+            col = jax.lax.broadcasted_iota(jnp.int32, (L, 2, nkv, ps), 3)
+            pobuf[b] = jnp.where(
+                col == scol, scale[..., None], prbuf[b]
+            )
+        else:
+            ins = row
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (L, 2, nkv, G, hd), 3)
+        obuf[b] = jnp.where(
+            ridx == rowin_ref[j], ins.astype(obuf.dtype)[:, :, :, None, :],
+            rbuf[b],
+        )
+        write_win(j, b).start()
+        if quantized:
+            write_plane(j, b).start()
+        nxt = j + NBUF
+        if nxt < B:
+            read_win(nxt, b).start()
+            if quantized:
+                read_plane(nxt, b).start()
+
+    for j in range(max(0, B - NBUF), B):
+        b = j % NBUF
+        write_win(j, b).wait()
+        if quantized:
+            write_plane(j, b).wait()
+
+
+def _rows_commit_all_fused(
+    kv_cache, rows, pages, row8, rowin, kv_scale, interpret,
+):
+    L, P, _, nkv, ps, hd = kv_cache.shape
+    B = rows.shape[1]
+    G = GROUP
+    quantized = kv_scale is not None
+
+    def whole(*_):
+        return (0, 0, 0, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((L, B, 2, nkv, hd), whole),
+        pl.BlockSpec(memory_space=pl.ANY),  # aliased cache
+    ]
+    operands = [rows, kv_cache]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    out_shapes = [jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype)]
+    if quantized:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(kv_scale)
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shapes.append(
+            jax.ShapeDtypeStruct(kv_scale.shape, kv_scale.dtype))
+    scratch = [
+        pltpu.VMEM((NBUF, L, 2, nkv, G, hd), kv_cache.dtype),  # rbuf
+        pltpu.VMEM((NBUF, L, 2, nkv, G, hd), kv_cache.dtype),  # obuf
+    ]
+    if quantized:
+        scratch += [
+            pltpu.VMEM((NBUF, L, 2, nkv, ps), jnp.float32),  # prbuf
+            pltpu.VMEM((NBUF, L, 2, nkv, ps), jnp.float32),  # pobuf
+        ]
+    scratch += [
+        pltpu.SemaphoreType.DMA((NBUF, 2)),  # rsem
+        pltpu.SemaphoreType.DMA((NBUF, 2)),  # wsem
+    ]
+    n_prefetch = 3
+    input_output_aliases = {n_prefetch + 1: 0}
+    if quantized:
+        input_output_aliases[n_prefetch + 2] = 1
+    res = pl.pallas_call(
+        functools.partial(_rows_fused_kernel, quantized=quantized, B=B),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_prefetch,
+            grid=(1,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            scratch_shapes=scratch,
+        ),
+        out_shape=tuple(out_shapes),
+        input_output_aliases=input_output_aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(pages, row8, rowin, *operands)
+    if quantized:
+        return res[0], res[1]
+    return res[0], None
+
+
 def _rows_all_batched_kernel(
     pages_ref, row8_ref, rowin_ref,
     rows_ref,  # [1, B, 2, nkv, hd] this layer's rows (VMEM block)
@@ -349,7 +504,8 @@ def _rows_all_kernel(pages_ref, row8_ref, rowin_ref,
     win_out[0, 0] = jnp.where(ridx == rowin, ins[:, :, None, :], win)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "batched"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "batched", "fused"))
 def pallas_rows_commit_all(
     kv_cache: jax.Array,  # [L, P, 2, nkv, ps, hd]
     rows: jax.Array,  # [L, B, 2, nkv, hd] all layers' current-token rows
@@ -358,6 +514,7 @@ def pallas_rows_commit_all(
     *,
     interpret: bool = False,
     batched: bool = True,
+    fused: bool = True,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Commit EVERY layer's decode rows in one call — the deferred
     end-of-step commit replacing L per-layer ``pallas_row_commit``
@@ -366,11 +523,14 @@ def pallas_rows_commit_all(
     Inactive slots target the null page 0 (concurrent null-page window
     DMAs may interleave; the null page holds garbage by convention).
 
-    ``batched=True`` (default): grid ``(L,)`` with an NBUF-deep in-kernel
-    pipeline of manual window DMAs over the B slots. ``batched=False``:
-    the naive ``(L, B)`` BlockSpec grid — one window RMW per grid step,
-    kept as the parity baseline (its per-grid-step cost measured ~0.6
-    ms/step at L28/bs64)."""
+    ``fused=True`` (default): grid ``(1,)``, one pipelined in-kernel loop
+    over the B slots where each window DMA spans ALL L layers (a slot's
+    page index is layer-invariant) — B*4 DMA issues total.
+    ``fused=False, batched=True``: grid ``(L,)`` with the per-layer
+    NBUF-deep pipeline (L*B*4 issues — the issue overhead measured ~2x
+    the DMA floor at L28/bs64). ``batched=False``: the naive ``(L, B)``
+    BlockSpec grid, kept as the parity baseline (~0.6 ms/step at
+    L28/bs64)."""
     L, P, _, nkv, ps, hd = kv_cache.shape
     B = slot_mapping.shape[0]
     G = GROUP
@@ -379,6 +539,10 @@ def pallas_rows_commit_all(
     pages = slot // ps
     row8 = (slot % ps) // G
     rowin = slot % G
+    if fused and batched:
+        return _rows_commit_all_fused(
+            kv_cache, rows, pages, row8, rowin, kv_scale, interpret
+        )
     if batched:
         return _rows_commit_all_batched(
             kv_cache, rows, pages, row8, rowin, kv_scale, interpret

@@ -620,15 +620,16 @@ class TestRowsCommitAllKernel:
         )
         return kvc, rows, slots
 
-    @pytest.mark.parametrize("batched", [True, False])
-    def test_matches_xla_twin_bf16(self, batched):
+    @pytest.mark.parametrize("mode", ["fused", "batched", "naive"])
+    def test_matches_xla_twin_bf16(self, mode):
         from nano_vllm_candle_tpu.kernels.kv_commit import (
             pallas_rows_commit_all,
         )
 
         kvc, rows, slots = self._case()
         got, _ = pallas_rows_commit_all(
-            kvc, rows, slots, interpret=True, batched=batched
+            kvc, rows, slots, interpret=True,
+            batched=mode != "naive", fused=mode == "fused",
         )
         ref, _ = qwen3._write_kv_all_layers(kvc, None, rows, slots)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
@@ -640,8 +641,8 @@ class TestRowsCommitAllKernel:
                 after[li, s // 16, 0, :, s % 16], np.asarray(rows[li, 0, 0])
             )
 
-    @pytest.mark.parametrize("batched", [True, False])
-    def test_matches_xla_twin_int8(self, batched):
+    @pytest.mark.parametrize("mode", ["fused", "batched", "naive"])
+    def test_matches_xla_twin_int8(self, mode):
         from nano_vllm_candle_tpu.kernels.kv_commit import (
             pallas_rows_commit_all,
         )
@@ -651,7 +652,8 @@ class TestRowsCommitAllKernel:
         kv8 = jnp.zeros((L, P, 2, nkv, ps, hd), jnp.int8)
         sc = jnp.zeros((L, P, 2, nkv, ps), jnp.float32)
         got, gots = pallas_rows_commit_all(
-            kv8, rows, slots, kv_scale=sc, interpret=True, batched=batched
+            kv8, rows, slots, kv_scale=sc, interpret=True,
+            batched=mode != "naive", fused=mode == "fused",
         )
         ref, refs = qwen3._write_kv_all_layers(kv8, sc, rows, slots)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
