@@ -50,6 +50,24 @@ from nano_vllm_candle_tpu.layers.linear import DECODE_MAX_T as MAX_T  # noqa: E4
 # bound is shared with layers/linear so the two dispatch layers cannot drift
 
 
+def _norm_into_scratch(x_ref, res_ref, nw_ref, xn_ref, r_out_ref, eps):
+    """Fused pre-norm (kernels' shared helper): residual-add + RMSNorm of
+    the WHOLE [T, d_in] activation row into the ``xn_ref`` VMEM scratch,
+    plus the new residual output — replicating ``ops/layernorm.rms_norm``
+    numerics exactly (f32 add/reduce/scale, cast back). Runs once on the
+    first grid step; later steps read slices of ``xn_ref``, so the separate
+    XLA norm fusion (launch + [T, d_in] round trip per layer) disappears
+    into the matmul's DMA shadow."""
+    x32 = x_ref[...].astype(jnp.float32)
+    if res_ref is not None:
+        x32 = x32 + res_ref[...].astype(jnp.float32)
+    r_out_ref[...] = x32.astype(r_out_ref.dtype)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    normed = x32 * jax.lax.rsqrt(var + eps)
+    normed = normed * nw_ref[0].astype(jnp.float32)[None, :]
+    xn_ref[...] = normed.astype(xn_ref.dtype)
+
+
 def _kernel(li_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, packed4: bool):
     g = pl.program_id(0)
 
@@ -90,6 +108,45 @@ def _kernel(li_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, packe
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _kernel_norm(
+    li_ref, x_ref, *rest, n_groups: int, packed4: bool, gs: int,
+    has_res: bool, eps: float,
+):
+    """Fused-norm variant of ``_kernel``: takes the RAW [T, d_in] hidden
+    (+ optional residual) and the norm weight, normalizes once into VMEM
+    scratch on the first grid step, and contracts per-group slices of the
+    scratch. Also emits the new residual (the layer's carry)."""
+    if has_res:
+        res_ref, nw_ref, q_ref, s_ref, o_ref, r_out_ref, acc_ref, xn_ref = rest
+    else:
+        nw_ref, q_ref, s_ref, o_ref, r_out_ref, acc_ref, xn_ref = rest
+        res_ref = None
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        _norm_into_scratch(x_ref, res_ref, nw_ref, xn_ref, r_out_ref, eps)
+
+    x = xn_ref[:, pl.ds(g * gs, gs)]  # [T, gs] normed slice
+    s_row = s_ref[0, pl.ds(g, 1)]  # [1, out]
+    if packed4:
+        p = q_ref[0, 0].astype(jnp.int32)
+        w = jnp.concatenate([p & 0xF, p >> 4], axis=0).astype(x.dtype)
+        d = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        d -= 8.0 * jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+        acc_ref[...] += d * s_row
+    else:
+        w = q_ref[0, 0].astype(x.dtype)
+        acc_ref[...] += (
+            jnp.dot(x, w, preferred_element_type=jnp.float32) * s_row
+        )
+
+    @pl.when(g == n_groups - 1)
+    def _emit():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
 def _dense_kernel_acc(li_ref, x_ref, w_ref, o_ref, acc_ref, *, n_groups: int):
     g = pl.program_id(0)
 
@@ -116,6 +173,52 @@ def _dense_kernel_tile(li_ref, x_ref, w_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
+def _dense_kernel_acc_norm(
+    li_ref, x_ref, *rest, n_groups: int, gs: int, has_res: bool, eps: float
+):
+    if has_res:
+        res_ref, nw_ref, w_ref, o_ref, r_out_ref, acc_ref, xn_ref = rest
+    else:
+        nw_ref, w_ref, o_ref, r_out_ref, acc_ref, xn_ref = rest
+        res_ref = None
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        _norm_into_scratch(x_ref, res_ref, nw_ref, xn_ref, r_out_ref, eps)
+
+    acc_ref[...] += jnp.dot(
+        xn_ref[:, pl.ds(g * gs, gs)], w_ref[0],
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(g == n_groups - 1)
+    def _emit():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _dense_kernel_tile_norm(
+    li_ref, x_ref, *rest, has_res: bool, eps: float
+):
+    if has_res:
+        res_ref, nw_ref, w_ref, o_ref, r_out_ref, xn_ref = rest
+    else:
+        nw_ref, w_ref, o_ref, r_out_ref, xn_ref = rest
+        res_ref = None
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        _norm_into_scratch(x_ref, res_ref, nw_ref, xn_ref, r_out_ref, eps)
+
+    o_ref[...] = jax.lax.dot_general(
+        xn_ref[...], w_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
 def _tile_of(n: int, want: int = 512) -> int:
     for t in (want, 256, 128):
         if n % t == 0:
@@ -131,7 +234,8 @@ def dense_supported(w: jax.Array, T: int) -> bool:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("transposed", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("transposed", "interpret", "eps"))
 def pallas_dense_matmul(
     x: jax.Array,  # [T, d_in]
     w: jax.Array,  # [L, d_in, out] or [L, out, d_in] (transposed)
@@ -139,6 +243,9 @@ def pallas_dense_matmul(
     *,
     transposed: bool = False,
     interpret: bool = False,
+    norm_weight: jax.Array = None,  # [d_in] — fuse residual-add + RMSNorm
+    residual: jax.Array = None,  # [T, d_in] (optional even with norm_weight)
+    eps: float = 1e-6,
 ) -> jax.Array:
     """``x @ w[layer_index]`` for plain stacked decode weights.
 
@@ -158,46 +265,82 @@ def pallas_dense_matmul(
     T, d_in = x.shape
     L = w.shape[0]
     li = jnp.asarray(layer_index, jnp.int32).reshape(1)
+    fused_norm = norm_weight is not None
+    has_res = residual is not None
+    assert has_res is False or fused_norm, "residual requires norm_weight"
+    whole_x = pl.BlockSpec((T, d_in), lambda *_: (0, 0))
+    norm_ops, norm_specs = [], []
+    if fused_norm:
+        if has_res:
+            norm_ops.append(residual)
+            norm_specs.append(whole_x)
+        norm_ops.append(norm_weight.reshape(1, d_in))
+        norm_specs.append(pl.BlockSpec((1, d_in), lambda *_: (0, 0)))
     if transposed:
         out, d_in_w = w.shape[1], w.shape[2]
         assert d_in_w == d_in, (w.shape, x.shape)
         OT = _tile_of(out)
+        in_specs = [whole_x] + norm_specs + [
+            pl.BlockSpec((1, OT, d_in), lambda t, li_ref: (li_ref[0], t, 0)),
+        ]
+        out_specs = pl.BlockSpec((T, OT), lambda t, li_ref: (0, t))
+        scratch = []
+        if fused_norm:
+            out_specs = (out_specs, whole_x)
+            scratch = [pltpu.VMEM((T, d_in), x.dtype)]  # xn
+            kernel = functools.partial(
+                _dense_kernel_tile_norm, has_res=has_res, eps=eps)
+        else:
+            kernel = _dense_kernel_tile
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(out // OT,),
-            in_specs=[
-                pl.BlockSpec((T, d_in), lambda t, li_ref: (0, 0)),
-                pl.BlockSpec((1, OT, d_in), lambda t, li_ref: (li_ref[0], t, 0)),
-            ],
-            out_specs=pl.BlockSpec((T, OT), lambda t, li_ref: (0, t)),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         )
-        kernel = _dense_kernel_tile
     else:
         d_in_w, out = w.shape[1], w.shape[2]
         assert d_in_w == d_in, (w.shape, x.shape)
         gs = _tile_of(d_in, 256)
         G = d_in // gs
+        in_specs = norm_specs + [
+            pl.BlockSpec((1, gs, out), lambda g, li_ref: (li_ref[0], g, 0)),
+        ]
+        out_specs = pl.BlockSpec((T, out), lambda g, li_ref: (0, 0))
+        scratch = [pltpu.VMEM((T, out), jnp.float32)]  # acc
+        if fused_norm:
+            in_specs = [whole_x] + in_specs
+            out_specs = (out_specs, whole_x)
+            scratch.append(pltpu.VMEM((T, d_in), x.dtype))  # xn
+            kernel = functools.partial(
+                _dense_kernel_acc_norm, n_groups=G, gs=gs,
+                has_res=has_res, eps=eps)
+        else:
+            in_specs = [
+                pl.BlockSpec((T, gs), lambda g, li_ref: (0, g))
+            ] + in_specs
+            kernel = functools.partial(_dense_kernel_acc, n_groups=G)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(G,),
-            in_specs=[
-                pl.BlockSpec((T, gs), lambda g, li_ref: (0, g)),
-                pl.BlockSpec((1, gs, out), lambda g, li_ref: (li_ref[0], g, 0)),
-            ],
-            out_specs=pl.BlockSpec((T, out), lambda g, li_ref: (0, 0)),
-            scratch_shapes=[pltpu.VMEM((T, out), jnp.float32)],
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         )
-        kernel = functools.partial(_dense_kernel_acc, n_groups=G)
+    out_shape = jax.ShapeDtypeStruct((T, out), x.dtype)
+    if fused_norm:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((T, d_in), x.dtype))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, out), x.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(li, x, w)
+    )(li, x, *norm_ops, w)
 
 
 def supported(qw: Dict[str, jax.Array], T: int) -> bool:
@@ -213,13 +356,16 @@ def supported(qw: Dict[str, jax.Array], T: int) -> bool:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "eps"))
 def pallas_quant_matmul(
     x: jax.Array,  # [T, d_in]
     qw: Dict[str, jax.Array],  # {"q"|"q4": [(L,)G,gs,out], "s": [(L,)G,out]}
     layer_index: jax.Array | None = None,  # required for stacked (4-dim) qw
     *,
     interpret: bool = False,
+    norm_weight: jax.Array = None,  # [d_in] — fuse residual-add + RMSNorm
+    residual: jax.Array = None,  # [T, d_in]
+    eps: float = 1e-6,
 ) -> jax.Array:
     """``x @ dequant(qw)`` with the dequant fused into the weight stream.
 
@@ -250,25 +396,54 @@ def pallas_quant_matmul(
         x.size * x.dtype.itemsize + q.size // L + s.size // L * 4
         + T * out * x.dtype.itemsize
     )
+    fused_norm = norm_weight is not None
+    has_res = residual is not None
+    assert not has_res or fused_norm, "residual requires norm_weight"
+    weight_specs = [
+        pl.BlockSpec((1, 1, rows, out), lambda g, li_ref: (li_ref[0], g, 0, 0)),
+        # scales [L, G, out]: the layer's full plane with a CONSTANT
+        # index map (Pallas skips the re-DMA on unchanged blocks), the
+        # kernel slices its group's row. See _kernel for why not a
+        # per-group block.
+        pl.BlockSpec((1, G, out), lambda g, li_ref: (li_ref[0], 0, 0)),
+    ]
+    out_specs = pl.BlockSpec((T, out), lambda g, li_ref: (0, 0))
+    out_shape = jax.ShapeDtypeStruct((T, out), x.dtype)
+    scratch = [pltpu.VMEM((T, out), jnp.float32)]  # acc
+    if fused_norm:
+        whole_x = pl.BlockSpec((T, d_in), lambda *_: (0, 0))
+        in_specs = [whole_x]
+        operands = [x]
+        if has_res:
+            in_specs.append(whole_x)
+            operands.append(residual)
+        in_specs.append(pl.BlockSpec((1, d_in), lambda *_: (0, 0)))
+        operands.append(norm_weight.reshape(1, d_in))
+        in_specs += weight_specs
+        operands += [q, s]
+        out_specs = (out_specs, whole_x)
+        out_shape = (out_shape, jax.ShapeDtypeStruct((T, d_in), x.dtype))
+        scratch.append(pltpu.VMEM((T, d_in), x.dtype))  # xn
+        kernel = functools.partial(
+            _kernel_norm, n_groups=G, packed4=packed4, gs=gs,
+            has_res=has_res, eps=eps)
+    else:
+        in_specs = [
+            pl.BlockSpec((T, gs), lambda g, li_ref: (0, g))
+        ] + weight_specs
+        operands = [x, q, s]
+        kernel = functools.partial(_kernel, n_groups=G, packed4=packed4)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
-        in_specs=[
-            pl.BlockSpec((T, gs), lambda g, li_ref: (0, g)),
-            pl.BlockSpec((1, 1, rows, out), lambda g, li_ref: (li_ref[0], g, 0, 0)),
-            # scales [L, G, out]: the layer's full plane with a CONSTANT
-            # index map (Pallas skips the re-DMA on unchanged blocks), the
-            # kernel slices its group's row. See _kernel for why not a
-            # per-group block.
-            pl.BlockSpec((1, G, out), lambda g, li_ref: (li_ref[0], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((T, out), lambda g, li_ref: (0, 0)),
-        scratch_shapes=[pltpu.VMEM((T, out), jnp.float32)],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        functools.partial(_kernel, n_groups=G, packed4=packed4),
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, out), x.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -277,4 +452,4 @@ def pallas_quant_matmul(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(li, x, q, s)
+    )(li, *operands)

@@ -158,6 +158,7 @@ def matmul(
     layer_index: Optional[jax.Array] = None,
     transposed: bool = False,
     interpret: bool = False,
+    pre_norm: Optional[tuple] = None,  # (residual|None, norm_weight, eps)
 ) -> jax.Array:
     """``x[T, in] @ w`` for plain or quantized weights.
 
@@ -182,7 +183,41 @@ def matmul(
     pallas paths inside ``lax.scan`` (a pre-sliced pallas operand costs a
     full-weight HBM copy; the kernels index the stack in their BlockSpecs
     instead).
+
+    ``pre_norm=(residual, norm_weight, eps)`` fuses the layer's
+    residual-add + RMSNorm into the matmul and changes the return to
+    ``(out, new_residual)``: on the pallas decode paths the norm runs in
+    VMEM scratch inside the kernel (one fewer XLA fusion launch and
+    [T, d_in] round trip per projection per layer); every other path
+    falls back to ``ops.layernorm.rms_norm`` followed by the plain matmul
+    — identical numerics either way.
     """
+    if pre_norm is not None:
+        residual, norm_weight, eps = pre_norm
+        T = x.shape[0]
+        from nano_vllm_candle_tpu.kernels import quant_matmul
+
+        if impl == "pallas" and is_quantized(w) and quant_matmul.supported(w, T):
+            return quant_matmul.pallas_quant_matmul(
+                x, w, layer_index, interpret=interpret,
+                norm_weight=norm_weight, residual=residual, eps=eps,
+            )
+        if (
+            impl == "pallas" and not is_quantized(w)
+            and isinstance(w, jax.Array) and w.ndim == 3
+            and quant_matmul.dense_supported(w, T)
+        ):
+            return quant_matmul.pallas_dense_matmul(
+                x, w, layer_index, transposed=transposed, interpret=interpret,
+                norm_weight=norm_weight, residual=residual, eps=eps,
+            )
+        from nano_vllm_candle_tpu.ops.layernorm import rms_norm
+
+        normed, new_residual = rms_norm(x, norm_weight, eps, residual)
+        return (
+            matmul(normed, w, impl, layer_index, transposed, interpret),
+            new_residual,
+        )
     if not is_quantized(w):
         if w.ndim == 3:  # stacked [L, ...] plain weights
             assert layer_index is not None, "stacked plain weights need layer_index"

@@ -379,19 +379,12 @@ def _decoder_layer(
     def proj(name: str):
         return lp[name] if name in lp else qlp[name]
 
-    if "norms" in ABLATE:
-        normed, residual = hidden, hidden
-    else:
-        normed, residual = rms_norm(
-            hidden, lp["input_layernorm"], c.rms_norm_eps, residual
-        )
-
     # QKV projections (column-parallel under TP; plain or int-quantized);
     # attn_impl doubles as the matmul impl switch: "pallas" routes quantized
     # weights through the fused dequant-matmul kernel (kernels/quant_matmul.py)
     mm = attn_impl
 
-    def pmm(xin, name: str):
+    def pmm(xin, name: str, pre_norm=None):
         # transposed ([out, in]) storage only applies to plain weights
         w = proj(name)
         t = name in TRANSPOSED_PROJS and not isinstance(w, dict)
@@ -399,17 +392,46 @@ def _decoder_layer(
             from nano_vllm_candle_tpu.parallel.mesh import _LAYER_KINDS
             from nano_vllm_candle_tpu.parallel.spmd import sharded_matmul
 
+            if pre_norm is not None:
+                xn, new_res = rms_norm(
+                    xin, pre_norm[1], pre_norm[2], pre_norm[0]
+                )
+                return sharded_matmul(
+                    xn, w, mesh, _LAYER_KINDS[name], li, transposed=t,
+                    batch_sharded=(mode == "decode"), interpret=interp,
+                ), new_res
             return sharded_matmul(
                 xin, w, mesh, _LAYER_KINDS[name], li, transposed=t,
                 batch_sharded=(mode == "decode"), interpret=interp,
             )
-        return matmul(xin, w, mm, li, transposed=t, interpret=interp)
+        return matmul(
+            xin, w, mm, li, transposed=t, interpret=interp, pre_norm=pre_norm
+        )
 
     def has(name: str) -> bool:
         return name in lp or name in qlp
 
+    if "norms" in ABLATE:
+        normed, residual = hidden, hidden
+        fuse_norm = False
+    else:
+        # The fused projections absorb the residual-add + RMSNorm into the
+        # matmul kernel (layers/linear.matmul pre_norm); the split q/k/v
+        # form shares one norm across three matmuls, so it norms up front.
+        fuse_norm = has("qkv_proj") and has("gate_up_proj")
+        if not fuse_norm:
+            normed, residual = rms_norm(
+                hidden, lp["input_layernorm"], c.rms_norm_eps, residual
+            )
+
     if has("qkv_proj"):  # fused stack (layers/linear.fuse_qwen3_params)
-        qkv = pmm(normed, "qkv_proj")
+        if fuse_norm:
+            qkv, residual = pmm(
+                hidden, "qkv_proj",
+                pre_norm=(residual, lp["input_layernorm"], c.rms_norm_eps),
+            )
+        else:
+            qkv = pmm(normed, "qkv_proj")
         q = qkv[:, : c.q_size]
         k = qkv[:, c.q_size : c.q_size + c.kv_size]
         v = qkv[:, c.q_size + c.kv_size :]
@@ -562,6 +584,13 @@ def _decoder_layer(
 
     if "norms" in ABLATE:
         normed = hidden
+    elif fuse_norm:
+        gu, residual = pmm(
+            hidden, "gate_up_proj",
+            pre_norm=(residual, lp["post_attention_layernorm"],
+                      c.rms_norm_eps),
+        )
+        return pmm(silu_and_mul(gu), "down_proj"), residual, kv, kvs, rows
     else:
         normed, residual = rms_norm(
             hidden, lp["post_attention_layernorm"], c.rms_norm_eps, residual
