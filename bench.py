@@ -110,6 +110,15 @@ def scaling_worker(args) -> None:
     # Initialize even for nprocs=1: the baseline must pay the same runtime
     # (distributed client, global-array device_puts) as the dp=N ranks.
     distributed.initialize(coord, nprocs, rank)
+    if os.environ.get("NVCT_ABLATE"):
+        # Perf forensics (models/qwen3.ABLATE): skip named stages so their
+        # coordination cost can be measured by difference. Numerics are
+        # wrong under ablation — never set in real runs. (Imported only
+        # after distributed.initialize: importing the model package touches
+        # the backend.)
+        from nano_vllm_candle_tpu.models import qwen3 as _q
+
+        _q.ABLATE = frozenset(os.environ["NVCT_ABLATE"].split(","))
     mesh = distributed.make_hybrid_mesh(tp=args.tp, dp=dp)
     B = SCALING_BATCH_PER_REPLICA * dp
     llm, prompt_len, decode_steps = _scaling_engine(args, mesh, B)
@@ -471,11 +480,13 @@ def main() -> None:
                         help="decode steps per dispatch (on-device scan)")
     parser.add_argument("--pipeline-depth", type=int, default=3,
                         help="in-flight chained decode bursts")
-    parser.add_argument("--repeat", type=int, default=1,
+    parser.add_argument("--repeat", type=int, default=3,
                         help="timed generation rounds; the headline value "
                              "is their mean and extra carries min/max so "
                              "round-over-round deltas are distinguishable "
-                             "from tunnel variance")
+                             "from tunnel variance (default 3 — the "
+                             "BASELINE.md measurement protocol; a single "
+                             "round is hostage to tunnel weather)")
     parser.add_argument("--tiny", action="store_true", help="tiny model on CPU (smoke)")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--prefix-share", type=int, default=0, metavar="S",
@@ -544,6 +555,23 @@ def main() -> None:
     from nano_vllm_candle_tpu.utils.warmup import warm_transfer_async, wait_warm
 
     warm_transfer_async()
+
+    # Persistent-compile-cache diagnostics: the prefill/decode "compile"
+    # wall times below are CACHE-SENSITIVE (measured on this config: cold
+    # 15.5s/10.8s, warm 2.4s/3.0s — round-4's apparent 2.5-3.7x compile
+    # regression was a cold cache, not XLA). Counting new cache entries
+    # distinguishes the two in the artifact itself.
+    import os as _os
+
+    from nano_vllm_candle_tpu.utils.jax_cache import _DEFAULT_DIR as _CACHE_DIR
+
+    def _cache_entries():
+        try:
+            return len(_os.listdir(_CACHE_DIR))
+        except OSError:
+            return 0
+
+    cache_before = _cache_entries()
 
     import jax.numpy as jnp
     import numpy as np
@@ -792,6 +820,7 @@ def main() -> None:
             "ttft_p50_s": round(ttft_s, 4),
             "prefill_compile_s": round(prefill_compile_s, 2),
             "decode_compile_s": round(decode_compile_s, 2),
+            "compile_cache_new_entries": _cache_entries() - cache_before,
             "d2h_handshake_s": round(handshake_s, 1),
             "sol_tok_s": round(sol_tok_s, 1),
             "tok_s_rounds": [round(x, 1) for x in round_tok_s],

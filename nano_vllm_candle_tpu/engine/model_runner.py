@@ -60,12 +60,15 @@ class JaxModelRunner:
             attn_impl = "pallas" if (engine_config.use_pallas_kernels and on_tpu) else "xla"
         self.attn_impl = attn_impl
         # The quantized lm_head (EngineConfig.lm_head_dtype) rides the
-        # fused dequant-matmul kernel only in single-device jits; under
-        # a mesh GSPMD partitions the XLA grouped form over the
-        # vocab-sharded head (a bare pallas_call is opaque to GSPMD).
-        self._logits_impl = (
-            "pallas" if (attn_impl == "pallas" and mesh is None) else "xla"
-        )
+        # fused dequant-matmul kernel on the pallas path; under a mesh it
+        # runs as a vocab-sharded shard_map island
+        # (parallel/spmd.sharded_logits_matmul) — the head's vocab axis is
+        # padded to tp*128 at quantization time so every local shard keeps
+        # the kernel's lane alignment.
+        self._logits_impl = "pallas" if attn_impl == "pallas" else "xla"
+        from nano_vllm_candle_tpu.kernels import interpret_default
+
+        self._interpret = interpret_default()
         if engine_config.kvcache_block_size % qwen3.GROUP:
             raise ValueError(
                 f"kvcache_block_size must be a multiple of {qwen3.GROUP} "
@@ -162,7 +165,8 @@ class JaxModelRunner:
             mesh=self.mesh,
         )
         logits = qwen3.compute_logits(
-            params, hidden, impl=self._logits_impl)
+            params, hidden, impl=self._logits_impl, mesh=self.mesh,
+            batch_sharded=False, interpret=self._interpret)
         rng = jax.random.fold_in(jax.random.key(seed), step)
         tokens = sample_tokens(
             rng, logits, seq_f32[:, 0], seq_i32[:, 1], seq_f32[:, 1],
@@ -248,7 +252,8 @@ class JaxModelRunner:
                 mesh=self.mesh,
             )
             logits = qwen3.compute_logits(
-            params, hidden, impl=self._logits_impl)
+                params, hidden, impl=self._logits_impl, mesh=self.mesh,
+                batch_sharded=True, interpret=self._interpret)
             rng = jax.random.fold_in(burst_rng, i)
             new_tokens = sample_tokens(
                 rng, logits, seq_f32[:, 0], top_k, seq_f32[:, 1],

@@ -161,6 +161,12 @@ def pallas_commit_groups(
 #: In-flight slot-window DMAs of the batched all-layer commit kernel.
 NBUF = 4
 
+#: Scratch-byte ceiling for the FUSED all-layer commit (vs its 100 MB
+#: vmem_limit, with headroom for Mosaic temporaries); above it the call
+#: silently takes the per-layer batched kernel. At today's shapes (0.6B-32B,
+#: int8 KV, bs<=64) the fused scratch is ~15-35 MB, far under the gate.
+_FUSED_VMEM_BUDGET = 64 * 1024 * 1024
+
 
 def _rows_fused_kernel(
     pages_ref, row8_ref, rowin_ref,
@@ -539,6 +545,18 @@ def pallas_rows_commit_all(
     pages = slot // ps
     row8 = (slot % ps) // G
     rowin = slot % G
+    if fused and batched:
+        # VMEM footprint gate (round-4 advisor): the fused kernel's scratch
+        # (rbuf/obuf spanning ALL L layers per slot window, + f32 scale
+        # planes, + the whole [L, B, 2, nkv, hd] rows block) scales linearly
+        # with layer count. A deeper model / bf16 cache at large L would
+        # fail at compile time against the 100 MB vmem_limit; estimate the
+        # bytes and fall back to the per-layer batched kernel instead.
+        win_b = 2 * NBUF * L * 2 * nkv * G * hd * kv_cache.dtype.itemsize
+        plane_b = 2 * NBUF * L * 2 * nkv * ps * 4 if quantized else 0
+        rows_b = rows.size * rows.dtype.itemsize
+        if win_b + plane_b + rows_b > _FUSED_VMEM_BUDGET:
+            fused = False
     if fused and batched:
         return _rows_commit_all_fused(
             kv_cache, rows, pages, row8, rowin, kv_scale, interpret

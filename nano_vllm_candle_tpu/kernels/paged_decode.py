@@ -203,6 +203,17 @@ def _decode_kernel(
 # nor compute.
 # --------------------------------------------------------------------------
 
+def _subpage_tail_supported(ps: int, kv_dtype) -> bool:
+    """Whether the grouped walk can fetch a sequence's tail page at
+    quarter-page granularity: int8 pages only (un-DMA'd bf16 scratch could
+    be NaN and poison p@V) with each quarter at least one 32-row int8
+    sublane tile."""
+    return (
+        jnp.dtype(kv_dtype) == jnp.int8
+        and ps % 4 == 0 and (ps // 4) % 32 == 0
+    )
+
+
 SEQ_BLOCK = 8  # sequences per grid step (grouped kernel)
 
 #: Page-buffer slots of the grouped kernel = lookahead depth + 1. Round 3
@@ -282,7 +293,8 @@ def _grouped_kernel(
     # NaN and 0*NaN would poison the p@V accumulation.
     QS = ps // 4  # 64 tokens at ps=256; int8 sublane tile is 32 — aligned
     sub_page = (
-        quantized and not fold_commit and ps % 4 == 0 and QS % 32 == 0
+        quantized and not fold_commit
+        and _subpage_tail_supported(ps, jnp.int8)
     )
 
     # Buffer slots follow the GLOBAL page counter (i*W + w) so prefetching

@@ -283,7 +283,8 @@ _QUANT_TARGETS = (
 
 
 def quantize_lm_head(
-    params: Dict[str, Any], bits: str = "int8", group_size: int = 128
+    params: Dict[str, Any], bits: str = "int8", group_size: int = 128,
+    pad_vocab_to: int = 1,
 ) -> Dict[str, Any]:
     """Quantize ONLY the logits matmul's weight (EngineConfig.lm_head_dtype).
 
@@ -295,16 +296,25 @@ def quantize_lm_head(
     ``lm_head`` entry built from its transpose; untied models quantize
     ``lm_head`` in place (freeing the bf16 copy). Gated by argmax-parity
     and engine-path Δppl tests (tests/test_quant.py, tests/test_evals.py).
+
+    ``pad_vocab_to``: pad the vocab (out) axis to this multiple BEFORE
+    quantizing — under a tp mesh the head shards its vocab axis, and the
+    fused-matmul island needs every LOCAL shard 128-lane aligned, so the
+    runner passes ``tp * 128``. Pad columns quantize to q=0/s=1 (logit 0)
+    and ``models/qwen3.compute_logits`` masks them to -inf before sampling.
     """
     out = dict(params)
     if "lm_head" in params:
-        if not is_quantized(params["lm_head"]):
-            out["lm_head"] = quantize_weight(
-                params["lm_head"], bits=bits, group_size=group_size
-            )
+        if is_quantized(params["lm_head"]):
+            return out
+        w = params["lm_head"]  # [H, V]
     else:
         w = jnp.swapaxes(params["embed_tokens"], 0, 1)  # [H, V]
-        out["lm_head"] = quantize_weight(w, bits=bits, group_size=group_size)
+    V = w.shape[-1]
+    Vp = -(-V // pad_vocab_to) * pad_vocab_to
+    if Vp != V:
+        w = jnp.pad(w, ((0, 0), (0, Vp - V)))
+    out["lm_head"] = quantize_weight(w, bits=bits, group_size=group_size)
     return out
 
 

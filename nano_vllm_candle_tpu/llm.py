@@ -124,9 +124,15 @@ class LLM:
         if engine_config.lm_head_dtype in ("int8", "int4"):
             from nano_vllm_candle_tpu.layers.linear import quantize_lm_head
 
+            # Under a tp mesh the head's vocab axis is sharded; pad it to
+            # tp*128 so every local shard stays 128-lane aligned for the
+            # fused-matmul island (spmd.sharded_logits_matmul). Pad columns
+            # are masked to -inf by compute_logits.
+            pad = 128 * mesh.shape["tp"] if mesh is not None else 1
             params = quantize_lm_head(
                 params, bits=engine_config.lm_head_dtype,
                 group_size=engine_config.quant_group_size,
+                pad_vocab_to=pad,
             )
 
         self.config = config

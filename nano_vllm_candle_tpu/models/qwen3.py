@@ -700,21 +700,50 @@ def forward(
     return hidden, KVCache(new_kv, new_kvs)
 
 
-def compute_logits(params: Params, hidden: jax.Array, impl: str = "xla") -> jax.Array:
+def compute_logits(
+    params: Params,
+    hidden: jax.Array,
+    impl: str = "xla",
+    mesh=None,
+    batch_sharded: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
     """``[B, H] @ [H, V]`` — untied lm_head or tied embedding transpose
     (``qwen3.rs:525-528,542-550``; tied support per HF config).
 
-    ``lm_head`` may be an INT8-quantized dict (``quantize_lm_head``): the
-    grouped dequant matmul then reads half the bytes of the bf16 table —
-    the head re-read is ~20% of the 0.6B per-step decode budget.
-    ``impl="pallas"`` routes it through the fused dequant-matmul kernel
-    (single-device jits only; under a mesh GSPMD partitions the XLA form).
+    ``lm_head`` may be an INT8/INT4-quantized dict (``quantize_lm_head``):
+    the grouped dequant matmul then reads half/quarter the bytes of the
+    bf16 table — the head re-read is ~20% of the 0.6B per-step decode
+    budget. ``impl="pallas"`` routes it through the fused dequant-matmul
+    kernel; under a mesh that runs as a vocab-sharded shard_map island
+    (``parallel/spmd.sharded_logits_matmul``) whose head was padded to
+    ``tp * 128`` vocab columns at quantization time — the pad columns are
+    masked to -inf here so sampling can never pick them.
     """
     if "lm_head" in params:
         from nano_vllm_candle_tpu.layers.linear import is_quantized, matmul
 
         if is_quantized(params["lm_head"]):
-            return matmul(hidden, params["lm_head"], impl=impl)
+            if mesh is not None and impl == "pallas":
+                from nano_vllm_candle_tpu.parallel.spmd import (
+                    sharded_logits_matmul,
+                )
+
+                logits = sharded_logits_matmul(
+                    mesh, hidden, params["lm_head"],
+                    batch_sharded=batch_sharded, interpret=interpret,
+                )
+            else:
+                logits = matmul(
+                    hidden, params["lm_head"], impl=impl, interpret=interpret
+                )
+            V = params["embed_tokens"].shape[0]
+            if logits.shape[-1] > V:  # tp-alignment vocab padding
+                pad = jnp.arange(logits.shape[-1], dtype=jnp.int32) >= V
+                logits = jnp.where(
+                    pad[None, :], jnp.asarray(-1e30, logits.dtype), logits
+                )
+            return logits
         return hidden @ params["lm_head"]
     return hidden @ params["embed_tokens"].T
 

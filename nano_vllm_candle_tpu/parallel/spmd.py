@@ -113,6 +113,44 @@ def sharded_matmul(
     )
 
 
+def sharded_logits_matmul(
+    mesh: Mesh,
+    x: jax.Array,  # [B, H] last-position hidden rows
+    w,  # quantized lm_head dict {"q"|"q4": [G, gs, Vp], "s": [G, Vp]}
+    *,
+    batch_sharded: bool = False,  # decode: rows dp-sharded; prefill: replicated
+    interpret: bool = False,
+) -> jax.Array:
+    """Quantized lm_head logits matmul as a shard_map island, vocab on tp.
+
+    The head's out (vocab) axis is sharded on tp (``mesh.qwen3_param_pspecs``
+    — the reference's ``VocabParallelEmbedding`` stub's declared intent,
+    ``/root/reference/src/layers/embed_head.rs:3-15``); each chip streams its
+    own vocab shard through the fused dequant-matmul kernel and the logits
+    come back ``P(bs, "tp")`` — downstream sampling reductions (argmax /
+    top-k) over the sharded vocab axis are resolved by GSPMD collectives,
+    same as the XLA fallback path. No collective inside the island.
+
+    The head is quantized with its vocab PADDED to ``tp * 128``
+    (``layers/linear.quantize_lm_head pad_vocab_to``) so every local shard
+    keeps the kernel's 128-lane alignment; ``models/qwen3.compute_logits``
+    masks the pad columns to -inf before sampling. Without this island the
+    1.24 GB untied 8B bf16 head would be re-read every step on the exact
+    config (TP across a host's chips) where it hurts most.
+    """
+    from nano_vllm_candle_tpu.layers.linear import matmul
+    from nano_vllm_candle_tpu.parallel.mesh import quant_specs
+
+    bs = "dp" if batch_sharded else None
+
+    def body(x, w):
+        return matmul(x, w, impl="pallas", interpret=interpret)
+
+    return _smap(
+        body, mesh, (P(bs, None), quant_specs("col", w)), P(bs, "tp")
+    )(x, w)
+
+
 # --------------------------------------------------------------------------
 # Decode islands: paged attention; all-layer deferred commit
 # --------------------------------------------------------------------------

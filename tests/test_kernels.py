@@ -248,6 +248,58 @@ class TestPagedDecodeKernel:
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
+    @pytest.mark.parametrize("tail", [1, 63, 64, 65, 128])
+    def test_grouped_kernel_int8_subpage_tail_fetch(self, tail):
+        """ps=128 (quarter QS=32) enables the sub-page tail-fetch branch —
+        the grouped walk fetches a sequence's LAST page at quarter-page
+        granularity via scalar-guarded static-size DMAs. Every other CI
+        case uses ps=8/16 where the branch is disabled (round-4 advisor:
+        the quarter-fetch/masking logic was only exercised by the on-chip
+        VERIFY run). ``tail`` pins the live rows in the last page at the
+        quarter boundaries (1 row, one-short, exact, one-past, full)."""
+        ps = 128
+        q, kvc, bt, sl, nk, nv = make_case(
+            B=8, ps=ps, P=24, W=2, seed=23
+        )
+        # Force each sequence's tail-page occupancy to the parametrized
+        # count: seq b spans 1 full page + `tail` rows (or just `tail`).
+        sln = np.asarray(sl).copy()
+        for b in range(8):
+            sln[b] = (ps if b % 2 else 0) + tail
+        sl = jnp.asarray(sln)
+        P_, _, nkv_, ps_, _ = kvc.shape
+        kq = jnp.clip(jnp.round(kvc * 20), -127, 127).astype(jnp.int8)
+        s = jax.random.uniform(
+            jax.random.key(24), (P_, 2, nkv_, ps_), jnp.float32, 0.01, 0.1
+        )
+        scale = q.shape[-1] ** -0.5
+        ref = paged_decode_attention(
+            q, kq, bt, sl, scale, kv_scale=s
+        )
+        btn = np.asarray(bt)
+        kqn, sn = np.asarray(kq), np.asarray(s)
+        nk2 = np.zeros_like(np.asarray(nk))
+        nv2 = np.zeros_like(np.asarray(nv))
+        for b in range(q.shape[0]):
+            t = int(sln[b]) - 1
+            pg = btn[b, t // ps_]
+            nk2[b] = (kqn[pg, 0, :, t % ps_].astype(np.float32)
+                      * sn[pg, 0, :, t % ps_][:, None])
+            nv2[b] = (kqn[pg, 1, :, t % ps_].astype(np.float32)
+                      * sn[pg, 1, :, t % ps_][:, None])
+        from nano_vllm_candle_tpu.kernels import paged_decode as pd
+
+        assert pd._subpage_tail_supported(ps, kq.dtype), (
+            "ps=128 int8 must enable the sub-page tail fetch"
+        )
+        out = pallas_paged_decode_attention(
+            q, kq, bt, sl, scale, jnp.asarray(nk2), jnp.asarray(nv2),
+            kv_scale=s, interpret=True, force_grouped=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
     def test_fold_commit_matches_attention_plus_row_commit(self):
         """pallas_paged_decode_commit == pallas_paged_decode_attention
         followed by pallas_row_commit: identical attention output AND
