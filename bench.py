@@ -59,6 +59,7 @@ def _scaling_engine(args, mesh, B):
         "tiny": Qwen3Config.tiny,
     }[args.model]()
     cpu_sized = args.model in ("tiny", "small")
+    dp = max(1, args.dp)
     prompt_len = 16 if cpu_sized else args.prompt_len
     decode_steps = (16 if args.model == "tiny" else 64) if cpu_sized else args.decode_steps
     block_size = 16 if cpu_sized else args.block_size
@@ -66,7 +67,9 @@ def _scaling_engine(args, mesh, B):
     eng = EngineConfig(
         max_num_seqs=B,
         max_num_batched_tokens=max(4096, B * prompt_len),
-        num_kvcache_blocks=1 + B * (-(-max_len // block_size)),
+        # One null page per dp rank (dp-sharded cache) + per-seq needs;
+        # B % dp == 0 keeps the total dp-divisible.
+        num_kvcache_blocks=dp + B * (-(-max_len // block_size)),
         kvcache_block_size=block_size,
         max_model_len=max_len,
         dtype="float32" if cpu_sized else "bfloat16",
@@ -504,9 +507,12 @@ def main() -> None:
                         help="measure dp=1 vs dp=N across N OS processes "
                              "(jax.distributed); prints a scaling-efficiency "
                              "JSON line")
-    parser.add_argument("--scaling-floor", type=float, default=0.6,
+    parser.add_argument("--scaling-floor", type=float, default=0.8,
                         help="fail (exit 1) when measured scaling efficiency "
-                             "is below this — the regression gate")
+                             "is below this — the regression gate (raised "
+                             "0.6 -> 0.8 in round 5: the dp-sharded KV "
+                             "cache removed the per-step commit all-gather "
+                             "and the dp=2 CPU proxy measures 0.94)")
     parser.add_argument("--scaling-worker", action="store_true",
                         help=argparse.SUPPRESS)
     parser.add_argument("--scaling-nprocs", type=int, default=1,
@@ -594,7 +600,9 @@ def main() -> None:
     block_size = args.block_size if args.model != "tiny" else 16
     max_len = prompt_len + decode_steps + block_size
     blocks_per_seq = -(-max_len // block_size)
-    num_blocks = 1 + B * blocks_per_seq
+    # One null page per dp rank (dp-sharded KV cache); B % dp == 0 keeps
+    # the per-seq pages dp-divisible too.
+    num_blocks = max(1, args.dp) + B * blocks_per_seq
 
     dtype = "bfloat16" if args.model != "tiny" else "float32"
     kv_dtype = args.kv_cache_dtype or dtype

@@ -147,10 +147,10 @@ def main(argv=None) -> int:
 
     engine_config = EngineConfig(
         max_num_seqs=args.max_num_seqs,
-        num_kvcache_blocks=(
+        num_kvcache_blocks=-(-(
             args.kv_blocks if args.kv_blocks is not None
             else max(2, 65536 // args.block_size)
-        ),
+        ) // max(1, args.dp)) * max(1, args.dp),  # dp-divisible (sharded KV)
         kvcache_block_size=args.block_size,
         max_model_len=args.max_model_len,
         tp_size=args.tp,

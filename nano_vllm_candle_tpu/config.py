@@ -224,6 +224,15 @@ class EngineConfig:
     # parallelism (mesh axes); tp shards heads/ffn, dp shards request slots
     tp_size: int = 1
     dp_size: int = 1
+    # Shard the KV cache's PAGE axis over dp (parallel/spmd.py): each dp
+    # rank owns the pages of its pinned request slots, so decode attention
+    # reads and KV commits are rank-local — no per-step all-gather of
+    # commit rows (measured ~40% of the dp coordination overhead) and no
+    # per-replica cache duplication (an 8B int4 bs64 cache replicated over
+    # dp caps the batch a dp mesh can hold). Requires num_kvcache_blocks
+    # divisible by dp; one null page is reserved per rank. Disable to fall
+    # back to the dp-replicated cache (every rank commits every slot).
+    dp_shard_kv: bool = True
     # Apply the XLA collective/compute-overlap flags
     # (parallel/distributed.COLLECTIVE_OVERLAP_XLA_FLAGS) before the first
     # backend use of a multi-chip run: async collective fusion + the

@@ -36,11 +36,21 @@ NULL_BLOCK = 0
 
 @dataclasses.dataclass
 class BlockManagerConfig:
-    """Mirrors ``block_manager.rs:3-22`` (num_blocks / block_size)."""
+    """Mirrors ``block_manager.rs:3-22`` (num_blocks / block_size).
+
+    ``dp_ranks > 1`` partitions the physical page space into dp equal
+    ranges (the device-side cache shards its page axis over the mesh's dp
+    axis, ``parallel/spmd.py``): rank ``r`` owns pages ``[r*P/dp,
+    (r+1)*P/dp)``, the FIRST page of each range is that rank's reserved
+    null page, and a sequence's pages are drawn from its home rank's range
+    only — so decode attention and KV commits never touch another rank's
+    shard and the per-step dp all-gather of commit rows disappears.
+    """
 
     num_blocks: int = 0
     block_size: int = 256
     enable_prefix_caching: bool = True
+    dp_ranks: int = 1
 
 
 class Block:
@@ -69,21 +79,50 @@ class BlockManager:
         self.block_size = config.block_size
         self.num_blocks = config.num_blocks
         self.enable_prefix_caching = config.enable_prefix_caching
+        self.dp_ranks = max(1, config.dp_ranks)
+        if config.num_blocks % self.dp_ranks:
+            raise ValueError(
+                f"num_blocks={config.num_blocks} not divisible by "
+                f"dp_ranks={self.dp_ranks} (the page axis shards over dp)"
+            )
+        self.blocks_per_rank = config.num_blocks // self.dp_ranks
         self.blocks: List[Block] = [Block(i) for i in range(config.num_blocks)]
-        # Block 0 is the null page — never allocated.
-        self.free_blocks: Deque[int] = deque(range(1, config.num_blocks))
-        self.hash_to_block: Dict[int, int] = {}
+        # The first page of each rank's range is that rank's reserved null
+        # page (page 0 for dp_ranks == 1) — never allocated: padding tokens
+        # scatter there, and the shard_map islands redirect out-of-range
+        # writes to LOCAL page 0 = the owning rank's null.
+        self.free_by_rank: List[Deque[int]] = [
+            deque(range(r * self.blocks_per_rank + 1,
+                        (r + 1) * self.blocks_per_rank))
+            for r in range(self.dp_ranks)
+        ]
+        # Prefix-cache map keyed (home_rank, hash): a cached block is only
+        # reusable by sequences homed on the rank that owns its page range.
+        self.hash_to_block: Dict[Tuple[int, int], int] = {}
 
     # -- capacity queries (block_manager.rs:64-66,89-91, made real) ---------
 
     @property
     def num_free_blocks(self) -> int:
-        return len(self.free_blocks)
+        return sum(len(q) for q in self.free_by_rank)
+
+    @property
+    def free_blocks(self) -> List[int]:
+        """Flat view of every rank's free list (inspection/tests)."""
+        return [b for q in self.free_by_rank for b in q]
+
+    @property
+    def num_null_blocks(self) -> int:
+        """Reserved null pages (one per dp rank)."""
+        return self.dp_ranks
+
+    def _rank_of_seq(self, seq: Sequence) -> int:
+        return getattr(seq, "home_rank", 0)
 
     def can_allocate(self, seq: Sequence) -> bool:
         """Admission check for prefill. Conservative: ignores prefix hits, so
         an admitted sequence can always be fully allocated."""
-        return seq.num_blocks <= self.num_free_blocks
+        return seq.num_blocks <= len(self.free_by_rank[self._rank_of_seq(seq)])
 
     def _blocks_needed(self, seq: Sequence, n_tokens: int) -> int:
         """Additional blocks required before the next ``n_tokens`` decode
@@ -96,28 +135,39 @@ class BlockManager:
         return self.can_extend(seq, 1)
 
     def can_extend(self, seq: Sequence, n_tokens: int) -> bool:
-        return self.num_free_blocks >= self._blocks_needed(seq, n_tokens)
+        return (
+            len(self.free_by_rank[self._rank_of_seq(seq)])
+            >= self._blocks_needed(seq, n_tokens)
+        )
 
     def can_extend_batch(self, seqs: List[Sequence], n_tokens: int) -> bool:
         """Whether ALL of ``seqs`` can extend by ``n_tokens`` together.
 
         Per-sequence ``can_extend`` checks are not composable — each extend
         consumes shared free blocks, so seq A passing its check can starve
-        seq B mid-batch. The aggregate need must be checked up front.
+        seq B mid-batch. The aggregate need must be checked up front,
+        per home rank (ranks own disjoint page pools).
         """
-        return self.num_free_blocks >= sum(
-            self._blocks_needed(s, n_tokens) for s in seqs
+        need = [0] * self.dp_ranks
+        for s in seqs:
+            need[self._rank_of_seq(s)] += self._blocks_needed(s, n_tokens)
+        return all(
+            len(self.free_by_rank[r]) >= need[r]
+            for r in range(self.dp_ranks)
         )
 
     # -- allocation ----------------------------------------------------------
 
-    def _take_free_block(self) -> Block:
-        if not self.free_blocks:
+    def _take_free_block(self, rank: int) -> Block:
+        free = self.free_by_rank[rank]
+        if not free:
             raise RuntimeError("out of KV cache blocks")
-        block = self.blocks[self.free_blocks.popleft()]
+        block = self.blocks[free.popleft()]
         # Evict any stale prefix-cache entry pointing at this block.
-        if block.hash is not None and self.hash_to_block.get(block.hash) == block.block_id:
-            del self.hash_to_block[block.hash]
+        if block.hash is not None and self.hash_to_block.get(
+            (rank, block.hash)
+        ) == block.block_id:
+            del self.hash_to_block[(rank, block.hash)]
         block.reset()
         return block
 
@@ -126,6 +176,7 @@ class BlockManager:
         full blocks where the rolling hash (and tokens, vs collisions)
         match. Sets ``seq.num_cached_tokens`` to the reused span."""
         assert not seq.block_table, "sequence already allocated"
+        rank = self._rank_of_seq(seq)
         prefix_hash = 0
         cache_hit = self.enable_prefix_caching
         num_cached = 0
@@ -138,23 +189,23 @@ class BlockManager:
 
             reused = None
             if cache_hit and h is not None:
-                cand = self.hash_to_block.get(h)
+                cand = self.hash_to_block.get((rank, h))
                 if cand is not None and self.blocks[cand].token_ids == list(tokens):
                     reused = self.blocks[cand]
             if reused is not None:
                 if reused.ref_count == 0:
-                    self.free_blocks.remove(reused.block_id)
+                    self.free_by_rank[rank].remove(reused.block_id)
                 reused.ref_count += 1
                 seq.block_table.append(reused.block_id)
                 num_cached += self.block_size
                 continue
 
             cache_hit = False  # prefix broken: later blocks can't hit
-            block = self._take_free_block()
+            block = self._take_free_block(rank)
             block.token_ids = list(tokens)
             if h is not None and self.enable_prefix_caching:
                 block.hash = h
-                self.hash_to_block[h] = block.block_id
+                self.hash_to_block[(rank, h)] = block.block_id
             seq.block_table.append(block.block_id)
         seq.num_cached_tokens = num_cached
 
@@ -166,8 +217,9 @@ class BlockManager:
     def extend(self, seq: Sequence, n_tokens: int) -> None:
         """Grow the block table to cover the next ``n_tokens`` decode steps
         (multi-step decode pre-allocates its whole burst)."""
+        rank = self._rank_of_seq(seq)
         for _ in range(self._blocks_needed(seq, n_tokens)):
-            seq.block_table.append(self._take_free_block().block_id)
+            seq.block_table.append(self._take_free_block(rank).block_id)
 
     def finalize_full_blocks(self, seq: Sequence) -> None:
         """Content-hash blocks that decode has filled, making them
@@ -175,6 +227,7 @@ class BlockManager:
         only known then)."""
         if not self.enable_prefix_caching:
             return
+        rank = self._rank_of_seq(seq)
         num_full = len(seq.token_ids) // self.block_size
         prefix_hash = 0
         for i in range(min(num_full, len(seq.block_table))):
@@ -184,7 +237,8 @@ class BlockManager:
                     tokens = tuple(seq.block(i))
                     block.token_ids = list(tokens)
                     block.hash = _block_hash(prefix_hash, tokens)
-                    self.hash_to_block.setdefault(block.hash, block.block_id)
+                    self.hash_to_block.setdefault(
+                        (rank, block.hash), block.block_id)
                     prefix_hash = block.hash
                 else:
                     # Shared-but-unhashed cannot happen (only hashed blocks
@@ -206,7 +260,9 @@ class BlockManager:
             assert block.ref_count >= 0
             if block.ref_count == 0:
                 # Keep hash for reuse; recycle in freed order (LRU eviction).
-                self.free_blocks.append(block_id)
+                # A page returns to the rank range it belongs to.
+                self.free_by_rank[block_id // self.blocks_per_rank].append(
+                    block_id)
         seq.block_table = []
         seq.num_cached_tokens = 0
 

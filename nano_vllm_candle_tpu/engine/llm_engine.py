@@ -189,7 +189,10 @@ class LLMEngine:
             self.metrics["decode_tokens"] += accepted
         self.metrics["preemptions"] = self.scheduler.num_preemptions
         bm = self.scheduler.block_manager
-        self.metrics["kv_blocks_in_use"] = bm.num_blocks - 1 - bm.num_free_blocks
+        self.metrics["kv_blocks_in_use"] = (
+            bm.num_blocks - getattr(bm, "num_null_blocks", 1)
+            - bm.num_free_blocks
+        )
         return StepOutput(outputs=outputs, is_prefill=is_prefill, num_tokens=num_tokens)
 
     def is_finished(self) -> bool:
@@ -429,4 +432,7 @@ class LLMEngine:
             self.metrics["decode_tokens"] += accepted
         self.metrics["preemptions"] = self.scheduler.num_preemptions
         bm = self.scheduler.block_manager
-        self.metrics["kv_blocks_in_use"] = bm.num_blocks - 1 - bm.num_free_blocks
+        self.metrics["kv_blocks_in_use"] = (
+            bm.num_blocks - getattr(bm, "num_null_blocks", 1)
+            - bm.num_free_blocks
+        )

@@ -86,6 +86,13 @@ class JaxModelRunner:
             from nano_vllm_candle_tpu.layers.linear import fuse_qwen3_params
 
             self.params = fuse_qwen3_params(self.params)
+        # dp-sharded KV cache (EngineConfig.dp_shard_kv): page axis over dp
+        # — same derivation as the control plane's (llm.py -> SchedulerConfig
+        # dp_ranks), which partitions the page pools to match.
+        self.dp_shard_kv = (
+            mesh is not None and engine_config.dp_shard_kv
+            and mesh.shape["dp"] > 1
+        )
         if mesh is not None:
             from nano_vllm_candle_tpu.parallel.mesh import (
                 shard_kv_cache,
@@ -96,8 +103,15 @@ class JaxModelRunner:
             validate_tp(config, mesh.shape["tp"])
             if engine_config.max_num_seqs % mesh.shape["dp"] != 0:
                 raise ValueError("max_num_seqs must be divisible by dp")
+            if (self.dp_shard_kv
+                    and engine_config.num_kvcache_blocks % mesh.shape["dp"]):
+                raise ValueError(
+                    "num_kvcache_blocks must be divisible by dp for the "
+                    "dp-sharded KV cache (set dp_shard_kv=False to replicate)"
+                )
             self.params = shard_params(params, mesh, config)
-            self.kv_cache = shard_kv_cache(self.kv_cache, mesh)
+            self.kv_cache = shard_kv_cache(
+                self.kv_cache, mesh, dp_shard=self.dp_shard_kv)
         self.block_size = engine_config.kvcache_block_size
         self.max_num_seqs = engine_config.max_num_seqs
         self.max_blocks_per_seq = engine_config.max_blocks_per_seq
@@ -162,7 +176,7 @@ class JaxModelRunner:
         hidden, kv_cache = qwen3.forward(
             params, kv_cache, batch,
             config=self.config, mode="prefill", attn_impl=self.attn_impl,
-            mesh=self.mesh,
+            mesh=self.mesh, dp_shard=self.dp_shard_kv,
         )
         logits = qwen3.compute_logits(
             params, hidden, impl=self._logits_impl, mesh=self.mesh,
@@ -249,7 +263,7 @@ class JaxModelRunner:
             hidden, kv_cache = qwen3.forward(
                 params, kv_cache, batch,
                 config=self.config, mode="decode", attn_impl=self.attn_impl,
-                mesh=self.mesh,
+                mesh=self.mesh, dp_shard=self.dp_shard_kv,
             )
             logits = qwen3.compute_logits(
                 params, hidden, impl=self._logits_impl, mesh=self.mesh,
@@ -316,9 +330,14 @@ class JaxModelRunner:
             W = min(W_b, W)
         seq_f32 = np.zeros((B, 2), np.float32)
         seq_f32[:, 1] = 1.0  # top_p disabled for padding slots
+        # Rows are indexed by each sequence's PINNED slot (assigned at
+        # admission, engine/scheduler._assign_slot), not list position: a
+        # stable row means a stable dp shard, the invariant behind the
+        # dp-sharded KV cache (a sequence's pages live on its home rank).
         if decode:
             seq_i32 = np.zeros((B, 5 + W), np.int32)
-            for i, seq in enumerate(seqs):
+            for seq in seqs:
+                i = seq.slot
                 L = len(seq) + pos_offset
                 nb = min(len(seq.block_table), W)  # untouched tail sliced off
                 seq_i32[i, 0] = seq.last_token
@@ -335,10 +354,10 @@ class JaxModelRunner:
                 seq_f32[i, 1] = seq.top_p
         else:
             seq_i32 = np.zeros((B, 2), np.int32)
-            for i, seq in enumerate(seqs):
-                seq_i32[i, 1] = seq.top_k
-                seq_f32[i, 0] = seq.temperature
-                seq_f32[i, 1] = seq.top_p
+            for seq in seqs:
+                seq_i32[seq.slot, 1] = seq.top_k
+                seq_f32[seq.slot, 0] = seq.temperature
+                seq_f32[seq.slot, 1] = seq.top_p
         use_top_k = bool((seq_i32[:, 4 if decode else 1] > 0).any())
         use_top_p = bool((seq_f32[:, 1] < 1.0).any())
         # Padding slots carry temperature 0, so all-zero means every REAL
@@ -379,7 +398,7 @@ class JaxModelRunner:
             table = np.asarray(seq.block_table, np.int64)
             idx = np.arange(start, end)
             tok_i32[t : t + L, 3] = table[idx // bs] * bs + idx % bs
-            seq_i32[i, 0] = t + L - 1
+            seq_i32[seq.slot, 0] = t + L - 1  # sampling row = pinned slot
             t += -(-L // G) * G  # advance past the sequence's GROUP padding
         return tok_i32
 
@@ -451,12 +470,12 @@ class JaxModelRunner:
             tokens.copy_to_host_async()
         except Exception:
             pass
-        return (tokens, len(seqs))
+        return (tokens, [s.slot for s in seqs])
 
     def fetch_prefill(self, fut) -> List[List[int]]:
-        tokens, n = fut
+        tokens, slots = fut
         host_tokens = np.asarray(jax.device_get(tokens))  # [B]
-        return [[int(t)] for t in host_tokens[:n]]
+        return [[int(host_tokens[s])] for s in slots]
 
     # -- pipelined decode (dispatch bursts t+1.. before fetching t) -----------
 
@@ -496,12 +515,12 @@ class JaxModelRunner:
             tokens.copy_to_host_async()
         except Exception:
             pass
-        return (tokens, len(seqs))
+        return (tokens, [s.slot for s in seqs])
 
     def fetch_decode(self, fut) -> List[List[int]]:
-        tokens, n = fut
+        tokens, slots = fut
         host_tokens = np.asarray(jax.device_get(tokens))  # [K, B]
         return [
-            [int(host_tokens[k, i]) for k in range(host_tokens.shape[0])]
-            for i in range(n)
+            [int(host_tokens[k, s]) for k in range(host_tokens.shape[0])]
+            for s in slots
         ]

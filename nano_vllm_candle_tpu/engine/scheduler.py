@@ -49,6 +49,12 @@ class SchedulerConfig:
     decode_burst: int = 1
     # Use the C++ block manager (csrc/) when buildable; falls back to Python.
     native_block_manager: bool = True
+    # Data-parallel ranks owning disjoint KV page ranges (dp-sharded cache,
+    # parallel/spmd.py). 1 = single shared page pool. When > 1, a sequence's
+    # pages are allocated from its home rank's range (home rank = pinned
+    # slot // (max_num_seqs / dp_ranks)) so decode attention and commits
+    # never touch another rank's shard.
+    dp_ranks: int = 1
 
     def with_max_num_seqs(self, n: int) -> "SchedulerConfig":
         return dataclasses.replace(self, max_num_seqs=n)
@@ -74,9 +80,19 @@ class Scheduler:
             num_blocks=config.num_kvcache_blocks,
             block_size=config.kvcache_block_size,
             enable_prefix_caching=config.enable_prefix_caching,
+            dp_ranks=config.dp_ranks,
         )
+        self.dp_ranks = max(1, config.dp_ranks)
+        if self.max_num_seqs % self.dp_ranks:
+            raise ValueError("max_num_seqs must be divisible by dp_ranks")
+        self.slots_per_rank = self.max_num_seqs // self.dp_ranks
+        # Pinned decode slots: popped smallest-first (deterministic across
+        # SPMD ranks), returned on finish/preemption.
+        self.free_slots: List[int] = list(range(self.max_num_seqs))
         self.block_manager = None
-        if config.native_block_manager:
+        # The native (C++) manager has no per-rank page pools; dp-sharded
+        # caches use the Python twin.
+        if config.native_block_manager and self.dp_ranks == 1:
             try:
                 from nano_vllm_candle_tpu.engine.native import NativeBlockManager
 
@@ -112,8 +128,10 @@ class Scheduler:
 
         Prompts longer than the token budget are NOT errors — chunked
         prefill processes them across steps."""
-        # Block 0 is the reserved null page.
-        usable_blocks = self.block_manager.num_blocks - 1
+        # One null page is reserved per dp rank (block 0 for dp=1); a
+        # sequence's pages all come from its home rank's range.
+        bm = self.block_manager
+        usable_blocks = getattr(bm, "blocks_per_rank", bm.num_blocks) - 1
         if seq.num_blocks > usable_blocks:
             return (
                 f"prompt needs {seq.num_blocks} KV blocks > "
@@ -150,6 +168,7 @@ class Scheduler:
             logger.error("seq=%d force-finished: %s", seq.seq_id, error)
         seq.append_token(self.eos)
         seq.status = SequenceStatus.FINISHED
+        self._release_slot(seq)
         self.block_manager.deallocate(seq)
         for q in (self.running, self.waiting):
             try:
@@ -172,6 +191,27 @@ class Scheduler:
     @property
     def num_running(self) -> int:
         return len(self.running)
+
+    def _assign_slot(self, seq: Sequence) -> bool:
+        """Pin a decode slot (batch row) at admission. The slot determines
+        the sequence's dp home rank — under a dp-sharded KV cache its pages
+        must come from that rank's range, so the slot must be fixed BEFORE
+        allocation and held until finish/preemption. Smallest-free-first
+        keeps the choice deterministic across SPMD ranks."""
+        if seq.slot is not None:
+            return True
+        if not self.free_slots:
+            return False
+        self.free_slots.sort()
+        seq.slot = self.free_slots.pop(0)
+        seq.home_rank = seq.slot // self.slots_per_rank
+        return True
+
+    def _release_slot(self, seq: Sequence) -> None:
+        if seq.slot is not None:
+            self.free_slots.append(seq.slot)
+            seq.slot = None
+            seq.home_rank = 0
 
     # -- scheduling (scheduler.rs:106-111) -----------------------------------
 
@@ -224,7 +264,12 @@ class Scheduler:
                 break
             is_new = not seq.block_table
             if is_new:
+                # Slot BEFORE allocation: the slot fixes the home rank whose
+                # page range the allocation must draw from (dp-sharded KV).
+                if not self._assign_slot(seq):
+                    break
                 if not self.block_manager.can_allocate(seq):
+                    self._release_slot(seq)
                     break
                 self.block_manager.allocate(seq)
                 if seq.num_cached_tokens >= len(seq):
@@ -323,6 +368,7 @@ class Scheduler:
             self.running.remove(seq)
         except ValueError:
             pass
+        self._release_slot(seq)
         self.block_manager.deallocate(seq)
         seq.num_computed_tokens = 0  # KV freed; re-prefill from scratch
         seq.prefill_target = 0
@@ -370,6 +416,7 @@ class Scheduler:
                     break
             if hit_eos or hit_cap:
                 seq.status = SequenceStatus.FINISHED
+                self._release_slot(seq)
                 self.block_manager.deallocate(seq)
                 try:
                     self.running.remove(seq)

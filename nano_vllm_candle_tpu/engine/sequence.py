@@ -36,6 +36,14 @@ class Sequence:
         self.seq_id: int = next(_seq_counter)
         self.block_size = block_size
         self.block_table: List[int] = []
+        # Pinned decode slot (batch row), assigned at admission and held
+        # until finish/preemption. Pinning makes a sequence's row — and
+        # therefore its dp shard under a (dp, tp) mesh — stable for its
+        # whole life, the invariant that lets the KV cache shard its page
+        # axis over dp (each rank owns its slots' pages; no commit
+        # all-gather). ``home_rank`` = slot // (max_num_seqs / dp).
+        self.slot: "int | None" = None
+        self.home_rank: int = 0
         self.status = SequenceStatus.WAITING
         self.token_ids: List[int] = list(token_ids)
         self.last_token: int = self.token_ids[-1] if self.token_ids else 0

@@ -137,6 +137,14 @@ class LLM:
 
         self.config = config
         self.engine_config = engine_config
+        # dp-sharded KV cache (EngineConfig.dp_shard_kv): the control plane
+        # partitions the page space per dp rank so device commits/reads stay
+        # rank-local. The runner derives the same flag from the same inputs.
+        dp_ranks = (
+            mesh.shape["dp"]
+            if mesh is not None and engine_config.dp_shard_kv
+            and mesh.shape["dp"] > 1 else 1
+        )
         scheduler = Scheduler(
             SchedulerConfig(
                 max_num_seqs=engine_config.max_num_seqs,
@@ -149,6 +157,7 @@ class LLM:
                 native_block_manager=engine_config.native_block_manager,
                 prefill_granularity=qwen3.GROUP,
                 max_model_len=engine_config.max_model_len,
+                dp_ranks=dp_ranks,
             )
         )
         self.model_runner = JaxModelRunner(

@@ -299,7 +299,8 @@ def _write_kv_all_layers(
 
 
 def _commit_prefill_groups(kv, kvs, k, v, slot_mapping, seg_ids, li, ps,
-                           interpret=False):
+                           interpret=False, page_base=None,
+                           num_local_pages=None):
     """Commit every GROUP window of the packed prefill stream to its page.
 
     The runner pads each sequence to a GROUP multiple, so windows never
@@ -307,12 +308,23 @@ def _commit_prefill_groups(kv, kvs, k, v, slot_mapping, seg_ids, li, ps,
     page. A window whose first token is stream padding (seg -1) targets the
     null page; rows past a sequence's real length land inside its own last
     page (ps is a GROUP multiple) and are masked by seq_len forever after.
+
+    ``page_base``/``num_local_pages``: dp-sharded cache (spmd islands) —
+    the stream is replicated over dp but each rank owns only pages
+    ``[page_base, page_base + num_local_pages)``; windows outside that
+    range drop to the rank's LOCAL null page 0 (the owning rank commits
+    them from its own replica of this call).
     """
     T = k.shape[0]
     nG = T // GROUP
     first_slot = slot_mapping[::GROUP]  # [nG]
     real = seg_ids[::GROUP] >= 0
-    pages = jnp.where(real, first_slot // ps, 0)
+    pages = first_slot // ps
+    if page_base is not None:
+        real = real & (pages >= page_base) & (
+            pages < page_base + num_local_pages)
+        pages = pages - page_base
+    pages = jnp.where(real, pages, 0)
     offs = jnp.where(real, first_slot % ps, 0)
 
     # [T, nkv, hd] x2 -> [nG, 2, nkv, GROUP, hd]
@@ -354,6 +366,7 @@ def _decoder_layer(
     mode: str,
     attn_impl: str,
     mesh=None,
+    dp_shard: bool = False,
 ):
     """One decoder layer with the reference's residual-threading contract
     (``qwen3.rs:374-399``).
@@ -373,8 +386,12 @@ def _decoder_layer(
     interp = interpret_default()
     # Under a mesh, pallas calls run as shard_map islands (parallel/spmd.py:
     # GSPMD cannot partition a pallas_call) with specs mirroring the GSPMD
-    # sharding plan of parallel/mesh.py.
+    # sharding plan of parallel/mesh.py. With a dp-SHARDED cache the
+    # attention/commit sites are islands on the XLA impl too (each rank
+    # must address its local page shard; GSPMD would insert cross-rank
+    # gathers over the sharded page axis) — matmuls stay GSPMD there.
     islands = mesh is not None and attn_impl == "pallas"
+    attn_islands = mesh is not None and (attn_impl == "pallas" or dp_shard)
 
     def proj(name: str):
         return lp[name] if name in lp else qlp[name]
@@ -455,7 +472,7 @@ def _decoder_layer(
 
     if mode == "prefill":
         chunked = batch.prefix_len is not None
-        if islands:
+        if attn_islands:
             from nano_vllm_candle_tpu.parallel.spmd import (
                 sharded_prefill_attention,
             )
@@ -463,7 +480,8 @@ def _decoder_layer(
             attn_out, kv, kvs = sharded_prefill_attention(
                 mesh, q, k, v, kv, kvs, batch.seg_ids, batch.positions,
                 batch.slot_mapping, scale, li, ps,
-                batch.block_table, batch.prefix_len, interpret=interp,
+                batch.block_table, batch.prefix_len,
+                dp_shard=dp_shard, impl=attn_impl, interpret=interp,
             )
         elif attn_impl == "pallas":
             if "commit" not in ABLATE:
@@ -512,12 +530,12 @@ def _decoder_layer(
                 attn_out = packed_prefill_attention(
                     q, k, v, batch.seg_ids, batch.positions, scale
                 )
-    elif islands:
+    elif attn_islands:
         from nano_vllm_candle_tpu.parallel.spmd import sharded_decode_attention
 
         attn_out = sharded_decode_attention(
             mesh, q, kv, kvs, batch.block_tables, batch.seq_lens, scale,
-            k, v, li, interpret=interp,
+            k, v, li, dp_shard=dp_shard, impl=attn_impl, interpret=interp,
         )
         attn_out = attn_out.astype(hidden.dtype)
         rows = jnp.stack([k, v], axis=1)  # [B, 2, nkv, hd]
@@ -613,6 +631,7 @@ def forward(
     mode: str,  # "prefill" | "decode"
     attn_impl: str = "xla",  # "xla" | "pallas"
     mesh=None,  # sharded pallas: kernels run as shard_map islands (spmd.py)
+    dp_shard: bool = False,  # KV page axis sharded over dp (spmd.py)
 ) -> Tuple[jax.Array, KVCache]:
     """Run the decoder over a token batch; returns (last_hidden, new_cache).
 
@@ -655,7 +674,7 @@ def forward(
         lp, li = xs
         h, r, kv, kvs, rows = _decoder_layer(
             h, r, lp, quant_layers, li, kv, kvs,
-            batch, c, mode, attn_impl, mesh,
+            batch, c, mode, attn_impl, mesh, dp_shard,
         )
         return (h, r, kv, kvs), rows
 
@@ -670,12 +689,13 @@ def forward(
         # rows ([L, B, 2, nkv, hd] scan ys) into the pages — replacing L
         # per-layer commit dispatches (and, under a dp mesh, L per-layer
         # all-gathers of the update rows with a single one).
-        if mesh is not None and attn_impl == "pallas":
+        if mesh is not None and (attn_impl == "pallas" or dp_shard):
             from nano_vllm_candle_tpu.parallel.spmd import sharded_commit_rows
             from nano_vllm_candle_tpu.kernels import interpret_default
 
             new_kv, new_kvs = sharded_commit_rows(
                 mesh, new_kv, new_kvs, all_rows, batch.slot_mapping,
+                dp_shard=dp_shard, impl=attn_impl,
                 interpret=interpret_default(),
             )
         elif attn_impl == "pallas":

@@ -134,11 +134,15 @@ def qwen3_param_pspecs(config: Qwen3Config, params: Any) -> Any:
     return specs
 
 
-def kv_cache_pspec(ndim: int = 6) -> P:
+def kv_cache_pspec(ndim: int = 6, dp_shard: bool = False) -> P:
     """Rank 6: combined pages ``[L, pages, 2, num_kv_heads, page_size,
     head_dim]`` — shard kv_heads (axis 3) on tp. Rank 5: the int8 scale
-    planes ``[L, pages, 2, num_kv_heads, page_size]`` — same axis."""
-    return P(None, None, None, "tp", *([None] * (ndim - 4)))
+    planes ``[L, pages, 2, num_kv_heads, page_size]`` — same axis.
+    ``dp_shard`` additionally shards the PAGE axis (1) on dp: each dp rank
+    owns its pinned slots' pages (engine/block_manager per-rank pools), so
+    commits/reads stay rank-local (EngineConfig.dp_shard_kv)."""
+    dp = "dp" if dp_shard else None
+    return P(None, dp, None, "tp", *([None] * (ndim - 4)))
 
 
 def shard_params(params: Any, mesh: Mesh, config: Qwen3Config) -> Any:
@@ -148,16 +152,17 @@ def shard_params(params: Any, mesh: Mesh, config: Qwen3Config) -> Any:
     )
 
 
-def shard_kv_cache(kv_cache: Any, mesh: Mesh) -> Any:
+def shard_kv_cache(kv_cache: Any, mesh: Mesh, dp_shard: bool = False) -> Any:
     from nano_vllm_candle_tpu.models.qwen3 import KVCache
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return KVCache(
-        kv=put(kv_cache.kv, kv_cache_pspec(kv_cache.kv.ndim)),
+        kv=put(kv_cache.kv, kv_cache_pspec(kv_cache.kv.ndim, dp_shard)),
         kv_scale=(
-            put(kv_cache.kv_scale, kv_cache_pspec(kv_cache.kv_scale.ndim))
+            put(kv_cache.kv_scale,
+                kv_cache_pspec(kv_cache.kv_scale.ndim, dp_shard))
             if kv_cache.kv_scale is not None else None
         ),
     )

@@ -20,12 +20,19 @@ Correctness notes:
 - GQA co-location: q heads are ordered grouped by kv head, so sharding both
   ``nq`` and ``nkv`` on tp keeps every q head on the chip that owns its kv
   head — attention islands need zero collectives.
-- The KV cache is **replicated over dp** (sharded only on tp). Decode
-  commits therefore all_gather the (tiny) per-slot update rows over dp so
-  every dp row performs the identical commit and the replicas stay
-  bit-identical. Prefill runs its full token stream on every dp row for the
-  same reason (prefill inputs are globally replicated; the redundant work
-  rides behind the decode pipeline).
+- The KV cache's **page axis shards over dp** by default
+  (``EngineConfig.dp_shard_kv``): request slots are pinned at admission
+  (engine/scheduler), each dp rank owns the page range of its slots
+  (per-rank block pools, one null page per rank), and decode attention /
+  commits stay entirely rank-local — zero per-step dp collectives and no
+  per-replica cache duplication. Chunked-prefix prefill psum-broadcasts
+  the home rank's paged-prefix softmax stats (exactly one contributor).
+  With ``dp_shard_kv=False`` the cache is dp-REPLICATED instead: decode
+  commits all_gather the (tiny) per-slot update rows over dp so every dp
+  row performs the identical commit and the replicas stay bit-identical.
+  Prefill runs its full token stream on every dp row either way (prefill
+  inputs are globally replicated; the redundant work rides behind the
+  decode pipeline).
 - Specs must hold for the *local* view; the kernels recompute tiling from
   local shapes, so everything divides as long as ``validate_tp`` passed
   (heads % tp == 0) and ``max_num_seqs % dp == 0`` (checked by the runner).
@@ -46,6 +53,23 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 KV_SPEC = P(None, None, None, "tp", None, None)
 KVS_SPEC = P(None, None, None, "tp", None)
+# dp-sharded cache (EngineConfig.dp_shard_kv): the PAGE axis also shards
+# over dp. Each rank owns its pinned slots' pages (block-manager per-rank
+# pools), global page indices translate to local ones by subtracting
+# rank * local_pages, and the per-step all-gather of commit rows
+# disappears (measured 8.7 -> 4.9 ms/step of dp=2 coordination overhead
+# in the CPU scaling proxy when the commit's gather is ablated).
+KV_SPEC_DP = P(None, "dp", None, "tp", None, None)
+KVS_SPEC_DP = P(None, "dp", None, "tp", None)
+
+
+def _local_pages(kv_local: jax.Array) -> int:
+    return kv_local.shape[1]
+
+
+def _page_base(kv_local: jax.Array) -> jax.Array:
+    """Global index of this dp rank's first local page."""
+    return jax.lax.axis_index("dp") * _local_pages(kv_local)
 
 
 def _smap(body, mesh, in_specs, out_specs):
@@ -168,18 +192,44 @@ def sharded_decode_attention(
     v: jax.Array,
     li: jax.Array,
     *,
+    dp_shard: bool = False,
+    impl: str = "pallas",
     interpret: bool = False,
 ) -> jax.Array:
     """Paged decode attention (current token folded in-kernel), read-only on
     the cache — the page write is deferred to the end-of-step
-    ``sharded_commit_rows`` island. Returns ``attn_out [B, nq, hd]``."""
+    ``sharded_commit_rows`` island. Returns ``attn_out [B, nq, hd]``.
+
+    Under a dp-sharded cache each rank's block-table rows reference only
+    its own page range (slot pinning + per-rank block pools); global page
+    indices translate to local by subtracting the rank's base. Inactive /
+    padded entries (global page 0) go negative and clamp to the rank's
+    LOCAL null page 0.
+
+    ``impl="xla"`` runs the XLA twin on the local shard instead of the
+    Pallas kernel — used when a dp-sharded cache must stay rank-local on
+    the XLA attention path (GSPMD would otherwise materialize cross-rank
+    gathers over the sharded page axis; this is the multi-process CPU
+    scaling harness's serving path)."""
     from nano_vllm_candle_tpu.kernels.paged_decode import (
         pallas_paged_decode_attention,
     )
+    from nano_vllm_candle_tpu.ops.attention import paged_decode_attention
 
     quant = kvs is not None
 
     def body(q, kv, kvs, bt, n, k, v, li):
+        if dp_shard:
+            bt = jnp.clip(bt - _page_base(kv), 0, _local_pages(kv) - 1)
+        if impl == "xla":
+            kv_l = jax.lax.dynamic_index_in_dim(kv, li, 0, keepdims=False)
+            kvs_l = (
+                jax.lax.dynamic_index_in_dim(kvs, li, 0, keepdims=False)
+                if quant else None
+            )
+            return paged_decode_attention(
+                q, kv_l, bt, n, scale, kv_scale=kvs_l, new_k=k, new_v=v,
+            )
         return pallas_paged_decode_attention(
             q, kv, bt, n, scale, k, v,
             kv_scale=kvs, layer_index=li, interpret=interpret,
@@ -187,8 +237,8 @@ def sharded_decode_attention(
 
     in_specs = (
         P("dp", "tp", None),  # q
-        KV_SPEC,
-        KVS_SPEC if quant else P(),
+        KV_SPEC_DP if dp_shard else KV_SPEC,
+        (KVS_SPEC_DP if dp_shard else KVS_SPEC) if quant else P(),
         P("dp", None),  # block_tables
         P("dp"),  # seq_lens
         P("dp", "tp", None),  # k
@@ -207,34 +257,55 @@ def sharded_commit_rows(
     rows: jax.Array,  # [L, B, 2, nkv, hd] all layers' current-token rows
     slot_mapping: jax.Array,  # [B]
     *,
+    dp_shard: bool = False,
+    impl: str = "pallas",
     interpret: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """End-of-step all-layer page commit. The cache is dp-replicated
-    (sharded only on tp): every dp row must perform the identical commit of
+    """End-of-step all-layer page commit.
+
+    ``dp_shard=True`` (the default serving config): the cache's page axis
+    is dp-sharded and every slot's pages live on its own rank, so each rank
+    commits ONLY its local rows — zero collectives. Inactive slots (global
+    slot 0) clamp to the rank's local null page. ``dp_shard=False``
+    (replicated cache): every dp rank must perform the identical commit of
     ALL slots' rows, so the (tiny) dp-sharded rows are all-gathered ONCE
     here — replacing the per-layer all-gathers the old per-layer commit
-    design paid L times per step."""
+    design paid L times per step. ``impl="xla"`` uses the XLA scatter twin
+    on the local shard (the dp-sharded XLA serving path)."""
     from nano_vllm_candle_tpu.kernels.kv_commit import pallas_rows_commit_all
 
     dp = mesh.shape["dp"]
     quant = kvs is not None
 
     def body(kv, kvs, rows, slot):
-        if dp > 1:
+        if dp_shard:
+            ps = kv.shape[4]
+            slot = jnp.clip(
+                slot - _page_base(kv) * ps, 0, _local_pages(kv) * ps - 1
+            )
+        elif dp > 1:
             rows = jax.lax.all_gather(rows, "dp", axis=1, tiled=True)
             slot = jax.lax.all_gather(slot, "dp", axis=0, tiled=True)
+        if impl == "xla":
+            from nano_vllm_candle_tpu.models.qwen3 import (
+                _write_kv_all_layers,
+            )
+
+            return _write_kv_all_layers(kv, kvs, rows, slot)
         kv, kvs = pallas_rows_commit_all(
             kv, rows, slot, kv_scale=kvs, interpret=interpret
         )
         return kv, kvs
 
+    kv_spec = KV_SPEC_DP if dp_shard else KV_SPEC
+    kvs_spec = KVS_SPEC_DP if dp_shard else KVS_SPEC
     in_specs = (
-        KV_SPEC,
-        KVS_SPEC if quant else P(),
+        kv_spec,
+        kvs_spec if quant else P(),
         P(None, "dp", None, "tp", None),  # rows
         P("dp"),  # slot_mapping
     )
-    out_specs = (KV_SPEC, KVS_SPEC if quant else P())
+    out_specs = (kv_spec, kvs_spec if quant else P())
     return _smap(body, mesh, in_specs, out_specs)(kv, kvs, rows, slot_mapping)
 
 
@@ -259,12 +330,20 @@ def sharded_prefill_attention(
     block_table: Optional[jax.Array],  # [W] (chunked / prefix-cached mode)
     prefix_len: Optional[jax.Array],  # scalar
     *,
+    dp_shard: bool = False,
+    impl: str = "pallas",
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """Prefill: commit GROUP windows, then packed-segment flash attention
     (flash-merged with the paged-prefix part in chunked mode). The token
-    stream is globally replicated; every dp row runs it identically (the
-    commit must happen on every dp replica of the cache anyway). Returns
+    stream is globally replicated; every dp row runs it identically. With a
+    replicated cache the commit happens on every dp replica; with a
+    dp-sharded cache each rank commits only the windows whose pages it owns
+    (the rest drop to its local null page). In chunked mode the committed
+    prefix lives entirely on the sequence's home rank, so the home rank's
+    paged-prefix softmax stats are psum-broadcast over dp (exactly one rank
+    contributes; the others add zeros) before the flash merge — the
+    replicated output every rank's sampler needs. Returns
     ``(attn_out [T, nq, hd], kv, kvs)``."""
     quant = kvs is not None
     chunked = block_table is not None
@@ -274,22 +353,69 @@ def sharded_prefill_attention(
             pallas_packed_prefill_attention,
             pallas_prefix_attention,
         )
-        from nano_vllm_candle_tpu.models.qwen3 import _commit_prefill_groups
-        from nano_vllm_candle_tpu.ops.attention import merge_attention_parts
-
-        kv, kvs = _commit_prefill_groups(
-            kv, kvs, k, v, slot, seg, li, ps, interpret=interpret
+        from nano_vllm_candle_tpu.models.qwen3 import (
+            _commit_prefill_groups,
+            _write_kv,
         )
+        from nano_vllm_candle_tpu.ops.attention import (
+            merge_attention_parts,
+            packed_prefill_attention,
+            prefix_attention,
+        )
+
+        base = _page_base(kv) if dp_shard else None
+        xla = impl == "xla"
+        if xla:
+            slot_l = slot if not dp_shard else slot - base * kv.shape[4]
+            # out-of-range (another rank's pages) slots go negative / past
+            # the local page count; the scatter's OOB mode drops them.
+            kv, kvs = _write_kv(kv, kvs, k, v, slot_l, li)
+        else:
+            kv, kvs = _commit_prefill_groups(
+                kv, kvs, k, v, slot, seg, li, ps, interpret=interpret,
+                page_base=base,
+                num_local_pages=_local_pages(kv) if dp_shard else None,
+            )
         if chunked:
-            o_s, m_s, l_s = pallas_packed_prefill_attention(
-                q, k, v, seg, pos, scale,
-                return_stats=True, interpret=interpret,
-            )
-            o_p, m_p, l_p = pallas_prefix_attention(
-                q, kv, bt, plen, scale,
-                kv_scale=kvs, layer_index=li, interpret=interpret,
-            )
+            if xla:
+                o_s, m_s, l_s = packed_prefill_attention(
+                    q, k, v, seg, pos, scale, return_stats=True,
+                )
+            else:
+                o_s, m_s, l_s = pallas_packed_prefill_attention(
+                    q, k, v, seg, pos, scale,
+                    return_stats=True, interpret=interpret,
+                )
+            bt_l = bt
+            if dp_shard:
+                bt_l = jnp.clip(bt - base, 0, _local_pages(kv) - 1)
+            if xla:
+                kv_l = jax.lax.dynamic_index_in_dim(kv, li, 0, keepdims=False)
+                kvs_l = (
+                    jax.lax.dynamic_index_in_dim(kvs, li, 0, keepdims=False)
+                    if quant else None
+                )
+                o_p, m_p, l_p = prefix_attention(
+                    q, kv_l, bt_l, plen, scale, kv_scale=kvs_l,
+                )
+            else:
+                o_p, m_p, l_p = pallas_prefix_attention(
+                    q, kv, bt_l, plen, scale,
+                    kv_scale=kvs, layer_index=li, interpret=interpret,
+                )
+            if dp_shard:
+                # The whole committed prefix is on the home rank (per-rank
+                # block pools); other ranks just scanned their own (finite,
+                # zero-initialized) pages. Zero the non-home stats and psum:
+                # exactly one rank contributes, making the stats replicated.
+                is_home = (bt[0] >= base) & (
+                    bt[0] < base + _local_pages(kv))
+                o_p = jax.lax.psum(jnp.where(is_home, o_p, 0.0), "dp")
+                m_p = jax.lax.psum(jnp.where(is_home, m_p, 0.0), "dp")
+                l_p = jax.lax.psum(jnp.where(is_home, l_p, 0.0), "dp")
             out = merge_attention_parts(o_s, m_s, l_s, o_p, m_p, l_p)
+        elif xla:
+            out = packed_prefill_attention(q, k, v, seg, pos, scale)
         else:
             out = pallas_packed_prefill_attention(
                 q, k, v, seg, pos, scale, interpret=interpret
@@ -297,12 +423,14 @@ def sharded_prefill_attention(
         return out, kv, kvs
 
     head_spec = P(None, "tp", None)
+    kv_spec = KV_SPEC_DP if dp_shard else KV_SPEC
+    kvs_spec = KVS_SPEC_DP if dp_shard else KVS_SPEC
     in_specs = (
         head_spec,  # q
         head_spec,  # k
         head_spec,  # v
-        KV_SPEC,
-        KVS_SPEC if quant else P(),
+        kv_spec,
+        kvs_spec if quant else P(),
         P(None),  # seg_ids
         P(None),  # positions
         P(None),  # slot_mapping
@@ -310,7 +438,7 @@ def sharded_prefill_attention(
         P(None) if chunked else P(),  # block_table
         P(),  # prefix_len
     )
-    out_specs = (head_spec, KV_SPEC, KVS_SPEC if quant else P())
+    out_specs = (head_spec, kv_spec, kvs_spec if quant else P())
     return _smap(body, mesh, in_specs, out_specs)(
         q, k, v, kv, kvs, seg_ids, positions, slot_mapping, li,
         block_table, prefix_len,

@@ -217,6 +217,52 @@ def test_sharded_chunked_prefix_matches_single_device(tiny_params, tp, dp):
     assert gen(mesh, "pallas") == baseline, "chunked pallas island diverged"
 
 
+@pytest.mark.parametrize("attn", ["xla", "pallas"])
+def test_dp_sharded_kv_cache_matches_replicated(tiny_params, attn):
+    """EngineConfig.dp_shard_kv (default): the cache's PAGE axis shards
+    over dp — each rank owns its pinned slots' pages (per-rank block pools,
+    one null page per rank) and the end-of-step commit island runs with
+    ZERO collectives (vs the replicated cache's per-step dp all-gather of
+    commit rows, measured ~40% of dp coordination overhead in the CPU
+    scaling proxy). Both modes must be token-equal with each other and
+    with the single-device baseline."""
+    mesh = make_mesh(tp=2, dp=2)
+
+    def gen(mesh_, dp_shard):
+        llm = LLM(
+            config=CFG,
+            params=tiny_params,
+            engine_config=EngineConfig(
+                max_num_seqs=4,
+                max_num_batched_tokens=128,
+                num_kvcache_blocks=32,
+                kvcache_block_size=8,
+                max_model_len=128,
+                dtype="float32",
+                kv_cache_dtype="float32",
+                prefill_buckets=(64, 128),
+                use_pallas_kernels=False,
+                attn_impl=attn,
+                dp_shard_kv=dp_shard,
+            ),
+            mesh=mesh_,
+        )
+        if mesh_ is not None and dp_shard:
+            kv = llm.model_runner.kv_cache.kv
+            # page axis (1) sharded 2-ways over dp
+            assert kv.sharding.shard_shape(kv.shape)[1] == kv.shape[1] // 2
+            bm = llm.engine.scheduler.block_manager
+            assert bm.dp_ranks == 2 and bm.num_null_blocks == 2
+        prompts = [[3, 1, 4, 1, 5], [2, 7], [10, 20, 30], [9, 9]]
+        outs = [o.token_ids for o in llm.generate(prompts, GREEDY)]
+        assert llm.engine.metrics["runner_errors"] == 0
+        return outs
+
+    base = gen(None, True)
+    assert gen(mesh, True) == base, f"{attn}: dp-sharded KV diverged"
+    assert gen(mesh, False) == base, f"{attn}: replicated KV diverged"
+
+
 class TestDistributed:
     """Multi-host scaffolding on the single-process virtual mesh."""
 
