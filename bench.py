@@ -743,6 +743,12 @@ def main() -> None:
         ):
             if not llm.step().is_prefill:
                 break
+        if args.stagger:
+            # Every round must carry the same second wave as round 1 or
+            # the rounds measure different workloads (rounds 2+ used to be
+            # pure-decode, inflating the mixed config's apparent spread).
+            for p in prompts:
+                llm.add_request(p, sp)
         before = llm.engine.metrics["decode_tokens"]
         t0 = time.perf_counter()
         llm.engine.run_until_done()

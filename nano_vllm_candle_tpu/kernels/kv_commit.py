@@ -29,6 +29,7 @@ garbage page masked out of every read).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -166,6 +167,11 @@ NBUF = 4
 #: silently takes the per-layer batched kernel. At today's shapes (0.6B-32B,
 #: int8 KV, bs<=64) the fused scratch is ~15-35 MB, far under the gate.
 _FUSED_VMEM_BUDGET = 64 * 1024 * 1024
+
+#: A/B escape (perf forensics): NVCT_COMMIT_FUSED=0 forces the per-layer
+#: batched kernel so the fused all-layer commit can be measured by
+#: difference on real configs without a code edit.
+_FUSED_DEFAULT = os.environ.get("NVCT_COMMIT_FUSED", "1") != "0"
 
 
 def _rows_fused_kernel(
@@ -520,7 +526,7 @@ def pallas_rows_commit_all(
     *,
     interpret: bool = False,
     batched: bool = True,
-    fused: bool = True,
+    fused: Optional[bool] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Commit EVERY layer's decode rows in one call — the deferred
     end-of-step commit replacing L per-layer ``pallas_row_commit``
@@ -545,6 +551,8 @@ def pallas_rows_commit_all(
     pages = slot // ps
     row8 = (slot % ps) // G
     rowin = slot % G
+    if fused is None:
+        fused = _FUSED_DEFAULT
     if fused and batched:
         # VMEM footprint gate (round-4 advisor): the fused kernel's scratch
         # (rbuf/obuf spanning ALL L layers per slot window, + f32 scale
