@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel size (shards request slots over the "
                         "mesh's dp axis; crosses hosts in multi-process runs)")
+    p.add_argument("--no-dp-shard-kv", action="store_true",
+                   help="replicate the KV cache over dp instead of sharding "
+                        "its page axis (EngineConfig.dp_shard_kv; sharding "
+                        "is the default — rank-local pages, zero per-step "
+                        "dp collectives, dp x the cache capacity)")
     # Multi-host serving (SURVEY.md §5.8): one CLI process per host, all
     # pointed at rank 0's coordinator — the same jax.distributed runtime the
     # scaling harness uses (bench.py --scaling-worker), now reachable from
@@ -158,6 +163,7 @@ def main(argv=None) -> int:
         quantization=args.quantization,
         kv_cache_dtype=args.kv_cache_dtype or "bfloat16",
         max_top_k=max(args.max_top_k, args.top_k),
+        dp_shard_kv=not args.no_dp_shard_kv,
     )
     mesh = (
         make_hybrid_mesh(tp=args.tp, dp=args.dp)

@@ -55,15 +55,20 @@ def load_library() -> Optional[ctypes.CDLL]:
         logger.warning("could not load native runtime: %s", e)
         return None
     lib.bm_create.restype = ctypes.c_void_p
-    lib.bm_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.bm_create.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
     lib.bm_destroy.argtypes = [ctypes.c_void_p]
     lib.bm_num_free.restype = ctypes.c_int
     lib.bm_num_free.argtypes = [ctypes.c_void_p]
     lib.bm_can_allocate.restype = ctypes.c_int
-    lib.bm_can_allocate.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.bm_can_allocate.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    lib.bm_num_free_rank.restype = ctypes.c_int
+    lib.bm_num_free_rank.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.bm_allocate.restype = ctypes.c_int
     lib.bm_allocate.argtypes = [
-        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int, ctypes.c_int,
     ]
     lib.bm_table_len.restype = ctypes.c_int
     lib.bm_table_len.argtypes = [ctypes.c_void_p, ctypes.c_int64]
@@ -99,9 +104,19 @@ class NativeBlockManager:
         self.block_size = config.block_size
         self.num_blocks = config.num_blocks
         self.enable_prefix_caching = config.enable_prefix_caching
+        self.dp_ranks = max(1, config.dp_ranks)
+        if config.num_blocks % self.dp_ranks:
+            raise ValueError(
+                f"num_blocks={config.num_blocks} not divisible by "
+                f"dp_ranks={self.dp_ranks} (the page axis shards over dp)"
+            )
+        self.blocks_per_rank = config.num_blocks // self.dp_ranks
         self._h = lib.bm_create(
-            config.num_blocks, config.block_size, int(config.enable_prefix_caching)
+            config.num_blocks, config.block_size,
+            int(config.enable_prefix_caching), self.dp_ranks,
         )
+        if not self._h:
+            raise RuntimeError("bm_create failed")
 
     def __del__(self) -> None:
         if getattr(self, "_h", None):
@@ -114,13 +129,24 @@ class NativeBlockManager:
     def num_free_blocks(self) -> int:
         return self._lib.bm_num_free(self._h)
 
+    @property
+    def num_null_blocks(self) -> int:
+        """Reserved null pages (one per dp rank)."""
+        return self.dp_ranks
+
+    @staticmethod
+    def _rank_of_seq(seq: Sequence) -> int:
+        return getattr(seq, "home_rank", 0)
+
     def can_allocate(self, seq: Sequence) -> bool:
-        return bool(self._lib.bm_can_allocate(self._h, len(seq.token_ids)))
+        return bool(self._lib.bm_can_allocate(
+            self._h, len(seq.token_ids), self._rank_of_seq(seq)))
 
     def allocate(self, seq: Sequence) -> None:
         assert not seq.block_table, "sequence already allocated"
         arr, ptr = _tokens_ptr(seq.token_ids)
-        cached = self._lib.bm_allocate(self._h, seq.seq_id, ptr, len(arr))
+        cached = self._lib.bm_allocate(
+            self._h, seq.seq_id, ptr, len(arr), self._rank_of_seq(seq))
         if cached < 0:
             raise RuntimeError("out of KV cache blocks")
         seq.num_cached_tokens = cached
@@ -136,13 +162,18 @@ class NativeBlockManager:
 
     def can_extend_batch(self, seqs: List[Sequence], n_tokens: int) -> bool:
         """Aggregate-need check (see BlockManager.can_extend_batch): the
-        per-seq need is host-computable from the mirrored block table."""
+        per-seq need is host-computable from the mirrored block table,
+        checked per home rank (ranks own disjoint page pools)."""
         bs = self.block_size
-        need = 0
+        need = [0] * self.dp_ranks
         for seq in seqs:
             blocks = -(-(len(seq.token_ids) - 1 + n_tokens) // bs)
-            need += max(0, blocks - len(seq.block_table))
-        return self.num_free_blocks >= need
+            need[self._rank_of_seq(seq)] += max(
+                0, blocks - len(seq.block_table))
+        return all(
+            self._lib.bm_num_free_rank(self._h, r) >= need[r]
+            for r in range(self.dp_ranks)
+        )
 
     def may_append(self, seq: Sequence) -> None:
         self.extend(seq, 1)

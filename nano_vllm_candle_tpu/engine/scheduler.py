@@ -90,9 +90,7 @@ class Scheduler:
         # SPMD ranks), returned on finish/preemption.
         self.free_slots: List[int] = list(range(self.max_num_seqs))
         self.block_manager = None
-        # The native (C++) manager has no per-rank page pools; dp-sharded
-        # caches use the Python twin.
-        if config.native_block_manager and self.dp_ranks == 1:
+        if config.native_block_manager:
             try:
                 from nano_vllm_candle_tpu.engine.native import NativeBlockManager
 

@@ -22,8 +22,9 @@ def make_seq(tokens, block_size):
     return Sequence(tokens, SamplingParams(), block_size=block_size)
 
 
-def make_pair(num_blocks=32, block_size=4, prefix=True):
-    cfg = BlockManagerConfig(num_blocks, block_size, enable_prefix_caching=prefix)
+def make_pair(num_blocks=32, block_size=4, prefix=True, dp_ranks=1):
+    cfg = BlockManagerConfig(num_blocks, block_size,
+                             enable_prefix_caching=prefix, dp_ranks=dp_ranks)
     return BlockManager(cfg), native.NativeBlockManager(cfg)
 
 
@@ -68,10 +69,11 @@ class TestNativeBlockManagerParity:
             ))
         assert results[0] == results[1]
 
-    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
-    def test_random_interleaving_parity(self, seed):
+    @pytest.mark.parametrize("seed,dp_ranks", [(0, 1), (1, 1), (2, 1), (3, 1),
+                                               (4, 2), (5, 2), (6, 3)])
+    def test_random_interleaving_parity(self, seed, dp_ranks):
         rng = np.random.default_rng(seed)
-        py, cpp = make_pair(num_blocks=24, block_size=4)
+        py, cpp = make_pair(num_blocks=24, block_size=4, dp_ranks=dp_ranks)
         live_py, live_cpp = [], []
         for step in range(120):
             op = rng.integers(0, 4)
@@ -84,6 +86,8 @@ class TestNativeBlockManagerParity:
                 sa = make_seq(list(prompt), 4)
                 sb = make_seq(list(prompt), 4)
                 sb.seq_id = sa.seq_id + 100000  # distinct ids per impl instance
+                # dp-sharded cache: pages come from the home rank's range
+                sa.home_rank = sb.home_rank = int(rng.integers(0, dp_ranks))
                 if py.can_allocate(sa) and cpp.can_allocate(sb):
                     py.allocate(sa)
                     cpp.allocate(sb)
