@@ -205,13 +205,14 @@ def _decode_kernel(
 
 def _subpage_tail_supported(ps: int, kv_dtype) -> bool:
     """Whether the grouped walk can fetch a sequence's tail page at
-    quarter-page granularity: int8 pages only (un-DMA'd bf16 scratch could
-    be NaN and poison p@V) with each quarter at least one 32-row int8
-    sublane tile."""
-    return (
-        jnp.dtype(kv_dtype) == jnp.int8
-        and ps % 4 == 0 and (ps // 4) % 32 == 0
-    )
+    quarter-page granularity: each quarter must be at least one 32-row
+    sublane tile (covers int8/bf16/f32 tiling). int8 pages need no extra
+    care (garbage scratch is finite and masked out of the softmax);
+    float pages additionally zero V's masked rows before p@V in-kernel —
+    un-DMA'd float scratch could hold NaN bit patterns and 0*NaN would
+    poison the accumulation (the round-4 reason this was int8-only)."""
+    del kv_dtype
+    return ps % 4 == 0 and (ps // 4) % 32 == 0
 
 
 SEQ_BLOCK = 8  # sequences per grid step (grouped kernel)
@@ -287,14 +288,15 @@ def _grouped_kernel(
     # whose static size is selected by scalar guards (Mosaic DMAs need
     # static shapes; only one branch fires). Interior pages keep the single
     # full-page DMA. The scale plane stays full-width — it is ~3% of the
-    # page bytes and its minor (lane) dim cannot slice below 128. INT8
-    # pages only: un-DMA'd scratch rows are masked out of the softmax, and
-    # garbage int8 bits are always finite, but uninitialized bf16 could be
-    # NaN and 0*NaN would poison the p@V accumulation.
+    # page bytes and its minor (lane) dim cannot slice below 128. Round 5
+    # extends this to FLOAT pages: int8 garbage scratch is finite and the
+    # softmax masks it, while un-DMA'd float scratch could hold NaN bit
+    # patterns — the compute loop zeroes V's masked rows before p@V for
+    # float caches (see the sanitize select below).
     QS = ps // 4  # 64 tokens at ps=256; int8 sublane tile is 32 — aligned
     sub_page = (
-        quantized and not fold_commit
-        and _subpage_tail_supported(ps, jnp.int8)
+        not fold_commit
+        and _subpage_tail_supported(ps, kbuf.dtype)
     )
 
     # Buffer slots follow the GLOBAL page counter (i*W + w) so prefetching
@@ -341,14 +343,15 @@ def _grouped_kernel(
                             sems.at[slot, sb, 0],
                         ).start()
 
-                @pl.when(live > 0)
-                def _():
-                    page = block_tables_ref[gbase + sb, w]
-                    pltpu.make_async_copy(
-                        s_hbm.at[li_ref[0], page],
-                        sbuf.at[slot, sb],
-                        sems.at[slot, sb, 1],
-                    ).start()
+                if quantized:
+                    @pl.when(live > 0)
+                    def _():
+                        page = block_tables_ref[gbase + sb, w]
+                        pltpu.make_async_copy(
+                            s_hbm.at[li_ref[0], page],
+                            sbuf.at[slot, sb],
+                            sems.at[slot, sb, 1],
+                        ).start()
             else:
                 @pl.when(fetch_wanted(w, length))
                 def _():
@@ -387,12 +390,13 @@ def _grouped_kernel(
                             sems.at[slot, sb, 0],
                         ).wait()
 
-                @pl.when(live > 0)
-                def _():
-                    pltpu.make_async_copy(
-                        s_hbm.at[li_ref[0], 0], sbuf.at[slot, sb],
-                        sems.at[slot, sb, 1],
-                    ).wait()
+                if quantized:
+                    @pl.when(live > 0)
+                    def _():
+                        pltpu.make_async_copy(
+                            s_hbm.at[li_ref[0], 0], sbuf.at[slot, sb],
+                            sems.at[slot, sb, 1],
+                        ).wait()
             else:
                 @pl.when(fetch_wanted(w, lens[sb]))
                 def _():
@@ -488,6 +492,17 @@ def _grouped_kernel(
         npg = per_row_scalar((SB * nkv, g, ps), 0, nkv, npaged, 0)
         mask = token_idx < npg
         s = jnp.where(mask, s, MASK_VALUE)
+        if sub_page and not quantized:
+            # Float pages with sub-page tail fetch: un-DMA'd tail-quarter
+            # scratch may hold NaN bit patterns and 0*NaN in p@V would
+            # poison the accumulator, so zero V's masked rows. (K needs no
+            # sanitize: NaN scores are killed by the where above. int8
+            # garbage is finite — masking alone suffices, no select paid.)
+            vtok = gw_t * ps + jax.lax.broadcasted_iota(
+                jnp.int32, (SB * nkv, ps, 1), 1
+            )
+            vnpg = per_row_scalar((SB * nkv, ps, 1), 0, nkv, npaged, 0)
+            v = jnp.where(vtok < vnpg, v, jnp.zeros_like(v))
         s2 = s.reshape(SB * nq, ps)
         mask2 = mask.reshape(SB * nq, ps)
         # A sequence with no tokens in this page window contributes NOTHING:
@@ -630,23 +645,22 @@ def grouped_supported(
     B: int, fold_new: bool, return_stats: bool, W: int = 1,
     kv_dtype=None, ps: int = 256,
 ) -> bool:
-    """Route to the grouped kernel only where it measured FASTER (round 3):
-    int8 pages at batch >= 16 (int4+int8KV bs64 12.9k -> 14.7k tok/s, bs16
-    +5.7%). With 2-byte (bf16) pages or small batches the per-(seq,page)
-    pipeline wins — its cross-grid-step DMA overlap runs deeper than the
-    grouped kernel's one-page lookahead, and wider pages make that overlap
-    matter more (bf16 bs8: 3,020 vs 2,887 grouped; int8-weights/bf16-KV
-    bs64: 11.6k vs 11.5k). Batches that aren't a SEQ_BLOCK multiple are
-    padded with inactive rows by the caller (scalar-guarded: no DMA or
-    compute), so only the B >= 16 perf floor remains."""
+    """Route to the grouped kernel only where it measured FASTER: int8 OR
+    bf16 pages at batch >= 16. Round 3 gated this to int8 (bf16 grouped
+    lost: bs64 11.5k vs 11.6k per-page) but round 5's float sub-page tail
+    fetch (quarter-page tail DMAs + NaN-safe V sanitize) flipped the
+    verdict: bf16 bs64 13,266 vs 12,683 per-page (+4.6%), int8-weights/
+    bf16-KV bs64 14,244 vs 13,517 (+5.4%), same-session A/B. Small
+    batches keep the per-(seq,page) pipeline (bf16 bs8: 3,020 vs 2,887
+    grouped, r3 — a single 8-row group can't amortize the grouped walk).
+    Batches that aren't a SEQ_BLOCK multiple are padded with inactive
+    rows by the caller (scalar-guarded: no DMA or compute), so only the
+    B >= 16 perf floor remains. NVCT_GROUPED_BF16=0 restores the
+    int8-only gate (A/B escape)."""
     import os
 
-    # Experiment escape: NVCT_GROUPED_BF16=1 lets bf16 pages take the
-    # grouped path too (A/B harness for the perf gate; the DMA-lookahead
-    # depth changed in round 4, so the round-3 "parity at bs64" data that
-    # set the int8-only gate may be stale).
     kv_ok = kv_dtype == jnp.int8 or (
-        os.environ.get("NVCT_GROUPED_BF16") == "1"
+        os.environ.get("NVCT_GROUPED_BF16", "1") != "0"
         and kv_dtype == jnp.bfloat16
     )
     return (

@@ -249,6 +249,37 @@ class TestPagedDecodeKernel:
         )
 
     @pytest.mark.parametrize("tail", [1, 63, 64, 65, 128])
+    def test_grouped_kernel_float_subpage_tail_fetch(self, tail):
+        """ps=128 FLOAT pages: the round-5 extension of the sub-page tail
+        fetch to non-int8 caches — V's masked rows are zeroed in-kernel so
+        NaN bit patterns in un-DMA'd scratch can't poison p@V. Parity vs
+        the XLA twin at the quarter boundaries."""
+        ps = 128
+        q, kvc, bt, sl, nk, nv = make_case(B=8, ps=ps, P=24, W=2, seed=27)
+        # Override lengths to pin the tail quarter AND rebuild every row
+        # with 2 DISTINCT pages: make_case sized tables for its own random
+        # lengths, and a repeat-padded 1-page row would make the twin's
+        # current-token write land on a live row of the same page.
+        sln = np.asarray(sl).copy()
+        btn = np.asarray(bt).copy()
+        for b in range(8):
+            sln[b] = (ps if b % 2 else 0) + tail
+            btn[b] = [1 + 2 * b, 2 + 2 * b]
+        sl, bt = jnp.asarray(sln), jnp.asarray(btn)
+        scale = q.shape[-1] ** -0.5
+        from nano_vllm_candle_tpu.kernels import paged_decode as pd
+
+        assert pd._subpage_tail_supported(ps, kvc.dtype)
+        ref = twin_with_current_rows(q, kvc, bt, sl, nk, nv, scale)
+        out = pallas_paged_decode_attention(
+            q, kvc, bt, sl, scale, nk, nv, interpret=True,
+            force_grouped=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    @pytest.mark.parametrize("tail", [1, 63, 64, 65, 128])
     def test_grouped_kernel_int8_subpage_tail_fetch(self, tail):
         """ps=128 (quarter QS=32) enables the sub-page tail-fetch branch —
         the grouped walk fetches a sequence's LAST page at quarter-page
@@ -263,10 +294,14 @@ class TestPagedDecodeKernel:
         )
         # Force each sequence's tail-page occupancy to the parametrized
         # count: seq b spans 1 full page + `tail` rows (or just `tail`).
+        # Rebuild the tables with 2 distinct pages per row (see the float
+        # sub-page test: repeat-padded 1-page rows corrupt the twin).
         sln = np.asarray(sl).copy()
+        btn = np.asarray(bt).copy()
         for b in range(8):
             sln[b] = (ps if b % 2 else 0) + tail
-        sl = jnp.asarray(sln)
+            btn[b] = [1 + 2 * b, 2 + 2 * b]
+        sl, bt = jnp.asarray(sln), jnp.asarray(btn)
         P_, _, nkv_, ps_, _ = kvc.shape
         kq = jnp.clip(jnp.round(kvc * 20), -127, 127).astype(jnp.int8)
         s = jax.random.uniform(
