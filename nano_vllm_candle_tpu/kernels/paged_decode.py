@@ -663,9 +663,12 @@ def grouped_supported(
         os.environ.get("NVCT_GROUPED_BF16", "1") != "0"
         and kv_dtype == jnp.bfloat16
     )
+    # A/B escape: lower the grouped batch floor (e.g. NVCT_GROUPED_MINB=8
+    # routes a single-group bs8 batch through the grouped walk).
+    min_b = int(os.environ.get("NVCT_GROUPED_MINB", "16"))
     return (
         fold_new and not return_stats
-        and B >= 16 and W <= MAX_GROUPED_W_CHUNKED
+        and B >= min_b and W <= MAX_GROUPED_W_CHUNKED
         and kv_ok
         # The manual scale-plane DMA copies [2, nkv, ps] f32 blocks whose
         # minor dim must be 128-tile-aligned (Mosaic rejects ps=64:
