@@ -126,7 +126,7 @@ class JaxModelRunner:
 
         self._prefill_jit = jax.jit(
             self._prefill_step,
-            static_argnames=("use_top_k", "use_top_p", "greedy_only"),
+            static_argnames=("use_top_k", "use_top_p", "greedy_only", "band"),
             donate_argnames=("kv_cache",),
         )
         self._decode_jit = jax.jit(
@@ -163,6 +163,7 @@ class JaxModelRunner:
         use_top_k: bool,
         use_top_p: bool,
         greedy_only: bool,
+        band: Optional[int] = None,
     ):
         batch = qwen3.PrefillBatch(
             token_ids=tok_i32[:, 0],
@@ -176,7 +177,7 @@ class JaxModelRunner:
         hidden, kv_cache = qwen3.forward(
             params, kv_cache, batch,
             config=self.config, mode="prefill", attn_impl=self.attn_impl,
-            mesh=self.mesh, dp_shard=self.dp_shard_kv,
+            mesh=self.mesh, dp_shard=self.dp_shard_kv, prefill_band=band,
         )
         logits = qwen3.compute_logits(
             params, hidden, impl=self._logits_impl, mesh=self.mesh,
@@ -458,13 +459,26 @@ class JaxModelRunner:
                 self._put(bt),
                 self._put(np.asarray([seqs[0].num_computed_tokens], np.int32)),
             )
+        # Static causal-band width for the packed flash kernel: computed
+        # from the exact stream just packed (the host knows the layout),
+        # bucketed to a power of two so jit variants stay bounded. The k
+        # grid then walks only each q tile's band — at 64 packed 128-token
+        # prompts the full (nq, Tq, Tk) grid ran 16,384 steps/layer of
+        # which ~97% were skipped-but-paid (~5 ms/layer of grid overhead).
+        band = None
+        if self.attn_impl == "pallas":
+            from nano_vllm_candle_tpu.kernels.flash_prefill import (
+                host_band_tiles,
+            )
+
+            band = host_band_tiles(tok_i32[:, 2], tok_i32.shape[0])
         tokens, self.kv_cache = self._prefill_jit(
             self.params, self.kv_cache, self._key,
             self._put(tok_i32),
             self._put(seq_i32, self._dp_spec() if self.mesh else None),
             self._put(seq_f32, self._dp_spec() if self.mesh else None),
             step, chunk, use_top_k=use_top_k, use_top_p=use_top_p,
-            greedy_only=greedy_only,
+            greedy_only=greedy_only, band=band,
         )
         try:
             tokens.copy_to_host_async()

@@ -36,6 +36,7 @@ def _prefill_kernel(
     segl_q_ref,  # [Tq] int32 last segment of each q tile (-1: all padding)
     segf_k_ref,  # [Tk] int32
     segl_k_ref,  # [Tk] int32
+    ktstart_ref,  # [Tq] int32 first k tile of each q tile's causal band
     seg_q_ref,  # [1, 1, Bq] int32 (this q tile's segment ids)
     pos_q_ref,  # [1, 1, Bq] int32
     seg_k_ref,  # [1, 1, Bk] int32 (this k tile's)
@@ -49,6 +50,7 @@ def _prefill_kernel(
     block_q: int,
     block_k: int,
     num_k_tiles: int,
+    band_tiles: int,
     return_stats: bool,
 ):
     if return_stats:
@@ -56,9 +58,17 @@ def _prefill_kernel(
     else:
         m_scr, l_scr, acc_scr = rest
     qt = pl.program_id(1)
-    kt = pl.program_id(2)
+    b = pl.program_id(2)
+    # Band grid (round 5): the k grid dim walks only this q tile's causal
+    # band [ktstart[qt], ktstart[qt] + band_tiles), not all Tk tiles. At 64
+    # packed 128-token prompts the old (nq, Tq, Tk) grid ran 16,384 steps
+    # per layer of which only ~512 computed — the ~0.3 us/step scalar cost
+    # of the SKIPPED tiles was ~90% of the kernel's 5.5 ms/layer. The band
+    # start comes from scalar prefetch; its width is a static host-computed
+    # bucket (model_runner passes the exact packed layout's band).
+    kt = ktstart_ref[qt] + b
 
-    @pl.when(kt == 0)
+    @pl.when(b == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
         l_scr[...] = jnp.zeros_like(l_scr)
@@ -68,12 +78,16 @@ def _prefill_kernel(
     # tiles whose segment ranges cannot overlap: in a packed multi-sequence
     # stream, a q tile of sequence s never attends into k tiles holding
     # only earlier sequences, so the useful region is the block-diagonal
-    # band, not the full causal triangle (at 64 packed 128-token prompts
-    # the triangle is ~16x the band). All-padding tiles (first=INT_MAX /
-    # last=-1) can never overlap anything and are skipped outright.
-    causal_ok = kt * block_k <= qt * block_q + block_q - 1
-    seg_ok = (segf_k_ref[kt] <= segl_q_ref[qt]) & (
-        segf_q_ref[qt] <= segl_k_ref[kt]
+    # band, not the full causal triangle. All-padding tiles (first=INT_MAX /
+    # last=-1) can never overlap anything and are skipped outright. Band
+    # positions past the table (kt >= Tk, from bucketed band widths at the
+    # last q tiles) are skipped by the causal check (kt > qt there).
+    causal_ok = (kt < num_k_tiles) & (
+        kt * block_k <= qt * block_q + block_q - 1
+    )
+    kt_c = jnp.minimum(kt, num_k_tiles - 1)
+    seg_ok = (segf_k_ref[kt_c] <= segl_q_ref[qt]) & (
+        segf_q_ref[qt] <= segl_k_ref[kt_c]
     )
 
     @pl.when(causal_ok & seg_ok)
@@ -112,7 +126,7 @@ def _prefill_kernel(
         )
         acc_scr[...] = acc_scr[...] * alpha + pv
 
-    @pl.when(kt == num_k_tiles - 1)
+    @pl.when(b == band_tiles - 1)
     def _finalize():
         l = l_scr[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
@@ -124,9 +138,35 @@ def _prefill_kernel(
             lo_ref[0] = l_scr[...]
 
 
+def host_band_tiles(seg_ids, T: int, block: int = 256) -> int:
+    """Host-side twin of the kernel's band computation: the max number of k
+    tiles any q tile's causal band spans for this packed layout, bucketed
+    to a power of two (one jit variant per bucket). The runner computes
+    this from the stream it just packed and passes it as the static
+    ``band_tiles``; the kernel's scalar-prefetched ``ktstart`` does the
+    per-tile positioning."""
+    import numpy as np
+
+    block = min(block, T)
+    seg = np.asarray(seg_ids).reshape(T // block, block)
+    last = seg.max(axis=1)
+    first = np.where(seg >= 0, seg, np.iinfo(np.int32).max).min(axis=1)
+    # first k tile containing any token of q tile's first segment
+    cond = last[None, :] >= first[:, None]  # [Tq, Tk]
+    ktstart = np.argmax(cond, axis=1)
+    width = int(np.max(np.arange(len(first)) - ktstart + 1))
+    bw = 1
+    while bw < width:
+        bw *= 2
+    return min(bw, T // block)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_q", "block_k", "interpret", "return_stats"),
+    static_argnames=(
+        "scale", "block_q", "block_k", "interpret", "return_stats",
+        "band_tiles",
+    ),
 )
 def pallas_packed_prefill_attention(
     q: jax.Array,  # [T, nq, hd]
@@ -140,13 +180,22 @@ def pallas_packed_prefill_attention(
     block_k: int = 256,
     interpret: bool = False,
     return_stats: bool = False,
+    band_tiles: int | None = None,
 ):
     """Packed-segment causal flash attention.
 
     ``return_stats=True`` additionally returns the online-softmax statistics
     ``(m, l)`` as f32 ``[T, nq]`` (row max and exp-sum) for flash-merging
     with another attention source (the paged-prefix part of chunked /
-    prefix-cached prefill, ``ops/attention.merge_attention_parts``)."""
+    prefix-cached prefill, ``ops/attention.merge_attention_parts``).
+
+    ``band_tiles`` (static): max causal-band width in k tiles — the k grid
+    walks only each q tile's band instead of all T/block_k tiles (see
+    ``_prefill_kernel``). None = the full triangle (always correct; pays
+    the skipped tiles' grid overhead). Callers that know the packed layout
+    on host (``host_band_tiles``) pass the exact bucket. MUST cover the
+    widest band or tiles are silently skipped — asserted against the
+    traced layout in the kernel's host twin."""
     T, nq, hd = q.shape
     nkv = k.shape[1]
     g = nq // nkv
@@ -155,23 +204,31 @@ def pallas_packed_prefill_attention(
     if T % block_q or T % block_k:
         raise ValueError(f"T={T} must be a multiple of block sizes")
     num_k_tiles = T // block_k
+    if band_tiles is None:
+        band_tiles = num_k_tiles
+    band_tiles = min(band_tiles, num_k_tiles)
 
     # heads-leading layout so block trailing dims are (block, hd)
     qh = q.transpose(1, 0, 2)  # [nq, T, hd]
     kh = k.transpose(1, 0, 2)  # [nkv, T, hd]
     vh = v.transpose(1, 0, 2)
-    grid = (nq, T // block_q, num_k_tiles)
+    grid = (nq, T // block_q, band_tiles)
 
     kernel = functools.partial(
         _prefill_kernel,
         scale=scale, block_q=block_q, block_k=block_k, num_k_tiles=num_k_tiles,
-        return_stats=return_stats,
+        band_tiles=band_tiles, return_stats=return_stats,
     )
+    Tk = num_k_tiles
+
+    def kt_of(b, ktstart_ref, qt):
+        return jnp.minimum(ktstart_ref[qt] + b, Tk - 1)
+
     out_shape = jax.ShapeDtypeStruct((nq, T, hd), q.dtype)
-    out_specs = pl.BlockSpec((1, block_q, hd), lambda h, qt, kt, *_: (h, qt, 0))
+    out_specs = pl.BlockSpec((1, block_q, hd), lambda h, qt, b, *_: (h, qt, 0))
     if return_stats:
         stat_spec = pl.BlockSpec(
-            (1, block_q, 128), lambda h, qt, kt, *_: (h, qt, 0)
+            (1, block_q, 128), lambda h, qt, b, *_: (h, qt, 0)
         )
         out_shape = (
             out_shape,
@@ -189,27 +246,45 @@ def pallas_packed_prefill_attention(
 
     segf_q, segl_q = tile_ranges(block_q)
     segf_k, segl_k = tile_ranges(block_k)
+    # First k tile of each q tile's band: the first tile containing any
+    # token of the q tile's first segment (in-trace twin of
+    # host_band_tiles; padding-only q tiles get 0 and skip via seg_ok).
+    ktstart = jnp.argmax(
+        segl_k[None, :] >= segf_q[:, None], axis=1
+    ).astype(jnp.int32)
 
     res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=grid,
             in_specs=[
                 # seg/pos delivered per-tile via BlockSpec (arrays reshaped
                 # [n_tiles, 1, block]): dynamic in-kernel lane slices of a
                 # full [1, T] row need starts statically divisible by 128,
                 # which small tiles can't prove.
-                pl.BlockSpec((1, 1, block_q), lambda h, qt, kt, *_: (qt, 0, 0)),
-                pl.BlockSpec((1, 1, block_q), lambda h, qt, kt, *_: (qt, 0, 0)),
-                pl.BlockSpec((1, 1, block_k), lambda h, qt, kt, *_: (kt, 0, 0)),
-                pl.BlockSpec((1, 1, block_k), lambda h, qt, kt, *_: (kt, 0, 0)),
-                pl.BlockSpec((1, block_q, hd), lambda h, qt, kt, *_: (h, qt, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda h, qt, b, *_: (qt, 0, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda h, qt, b, *_: (qt, 0, 0)),
                 pl.BlockSpec(
-                    (1, block_k, hd), lambda h, qt, kt, *_, g=g: (h // g, kt, 0)
+                    (1, 1, block_k),
+                    lambda h, qt, b, sfq, slq, sfk, slk, kts: (
+                        kt_of(b, kts, qt), 0, 0),
                 ),
                 pl.BlockSpec(
-                    (1, block_k, hd), lambda h, qt, kt, *_, g=g: (h // g, kt, 0)
+                    (1, 1, block_k),
+                    lambda h, qt, b, sfq, slq, sfk, slk, kts: (
+                        kt_of(b, kts, qt), 0, 0),
+                ),
+                pl.BlockSpec((1, block_q, hd), lambda h, qt, b, *_: (h, qt, 0)),
+                pl.BlockSpec(
+                    (1, block_k, hd),
+                    lambda h, qt, b, sfq, slq, sfk, slk, kts, g=g: (
+                        h // g, kt_of(b, kts, qt), 0),
+                ),
+                pl.BlockSpec(
+                    (1, block_k, hd),
+                    lambda h, qt, b, sfq, slq, sfk, slk, kts, g=g: (
+                        h // g, kt_of(b, kts, qt), 0),
                 ),
             ],
             out_specs=out_specs,
@@ -225,7 +300,7 @@ def pallas_packed_prefill_attention(
         ),
         interpret=interpret,
     )(
-        segf_q, segl_q, segf_k, segl_k,
+        segf_q, segl_q, segf_k, segl_k, ktstart,
         seg_ids.reshape(T // block_q, 1, block_q),
         positions.reshape(T // block_q, 1, block_q),
         seg_ids.reshape(T // block_k, 1, block_k),

@@ -367,6 +367,7 @@ def _decoder_layer(
     attn_impl: str,
     mesh=None,
     dp_shard: bool = False,
+    prefill_band: Optional[int] = None,
 ):
     """One decoder layer with the reference's residual-threading contract
     (``qwen3.rs:374-399``).
@@ -481,7 +482,8 @@ def _decoder_layer(
                 mesh, q, k, v, kv, kvs, batch.seg_ids, batch.positions,
                 batch.slot_mapping, scale, li, ps,
                 batch.block_table, batch.prefix_len,
-                dp_shard=dp_shard, impl=attn_impl, interpret=interp,
+                dp_shard=dp_shard, impl=attn_impl, band=prefill_band,
+                interpret=interp,
             )
         elif attn_impl == "pallas":
             if "commit" not in ABLATE:
@@ -498,6 +500,7 @@ def _decoder_layer(
                 o_s, m_s, l_s = pallas_packed_prefill_attention(
                     q, k, v, batch.seg_ids, batch.positions, scale,
                     return_stats=True, interpret=interp,
+                    band_tiles=prefill_band,
                 )
                 o_p, m_p, l_p = pallas_prefix_attention(
                     q, kv, batch.block_table, batch.prefix_len, scale,
@@ -507,7 +510,7 @@ def _decoder_layer(
             else:
                 attn_out = pallas_packed_prefill_attention(
                     q, k, v, batch.seg_ids, batch.positions, scale,
-                    interpret=interp,
+                    interpret=interp, band_tiles=prefill_band,
                 )
         else:
             kv, kvs = _write_kv(kv, kvs, k, v, batch.slot_mapping, li)
@@ -632,6 +635,9 @@ def forward(
     attn_impl: str = "xla",  # "xla" | "pallas"
     mesh=None,  # sharded pallas: kernels run as shard_map islands (spmd.py)
     dp_shard: bool = False,  # KV page axis sharded over dp (spmd.py)
+    prefill_band: Optional[int] = None,  # static causal-band width in k
+    # tiles for the packed flash kernel (kernels/flash_prefill
+    # host_band_tiles); None = full triangle
 ) -> Tuple[jax.Array, KVCache]:
     """Run the decoder over a token batch; returns (last_hidden, new_cache).
 
@@ -674,7 +680,7 @@ def forward(
         lp, li = xs
         h, r, kv, kvs, rows = _decoder_layer(
             h, r, lp, quant_layers, li, kv, kvs,
-            batch, c, mode, attn_impl, mesh, dp_shard,
+            batch, c, mode, attn_impl, mesh, dp_shard, prefill_band,
         )
         return (h, r, kv, kvs), rows
 

@@ -332,6 +332,7 @@ def sharded_prefill_attention(
     *,
     dp_shard: bool = False,
     impl: str = "pallas",
+    band: Optional[int] = None,  # static packed-flash band width (k tiles)
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """Prefill: commit GROUP windows, then packed-segment flash attention
@@ -385,6 +386,7 @@ def sharded_prefill_attention(
                 o_s, m_s, l_s = pallas_packed_prefill_attention(
                     q, k, v, seg, pos, scale,
                     return_stats=True, interpret=interpret,
+                    band_tiles=band,
                 )
             bt_l = bt
             if dp_shard:
@@ -418,7 +420,8 @@ def sharded_prefill_attention(
             out = packed_prefill_attention(q, k, v, seg, pos, scale)
         else:
             out = pallas_packed_prefill_attention(
-                q, k, v, seg, pos, scale, interpret=interpret
+                q, k, v, seg, pos, scale, interpret=interpret,
+                band_tiles=band,
             )
         return out, kv, kvs
 

@@ -469,6 +469,49 @@ class TestFlashPrefillKernel:
         )
         assert np.all(np.isfinite(np.asarray(out)))
 
+    @pytest.mark.parametrize("lens,T", [
+        ([100, 80, 50, 60], 384),   # short segments: band 1-2 tiles
+        ([200, 80], 320),           # segment spanning 4 tiles
+        ([320], 320),               # single sequence: full triangle band
+        ([64, 64, 64, 64, 60], 384),
+    ])
+    def test_band_grid_matches_full(self, lens, T):
+        """Round-5 band grid: the k grid walks only each q tile's causal
+        band (static width from ``host_band_tiles``, per-tile start from
+        scalar prefetch). Must be bit-equal with the full-triangle grid —
+        a band narrower than any tile's need would silently skip real
+        attention (the failure mode this test pins)."""
+        from nano_vllm_candle_tpu.kernels.flash_prefill import (
+            host_band_tiles,
+        )
+
+        q, k, v, seg, pos = make_packed_case(lens, T, seed=9)
+        scale = q.shape[-1] ** -0.5
+        band = host_band_tiles(seg, T, block=64)
+        full = pallas_packed_prefill_attention(
+            q, k, v, seg, pos, scale, block_q=64, block_k=64, interpret=True
+        )
+        banded = pallas_packed_prefill_attention(
+            q, k, v, seg, pos, scale, block_q=64, block_k=64, interpret=True,
+            band_tiles=band,
+        )
+        real = np.asarray(seg) >= 0
+        np.testing.assert_array_equal(
+            np.asarray(banded)[real], np.asarray(full)[real]
+        )
+        # stats variant too (chunked-prefill merge path)
+        o1, m1, l1 = pallas_packed_prefill_attention(
+            q, k, v, seg, pos, scale, block_q=64, block_k=64, interpret=True,
+            return_stats=True, band_tiles=band,
+        )
+        o2, m2, l2 = pallas_packed_prefill_attention(
+            q, k, v, seg, pos, scale, block_q=64, block_k=64, interpret=True,
+            return_stats=True,
+        )
+        np.testing.assert_array_equal(np.asarray(o1)[real], np.asarray(o2)[real])
+        np.testing.assert_array_equal(np.asarray(m1)[real], np.asarray(m2)[real])
+        np.testing.assert_array_equal(np.asarray(l1)[real], np.asarray(l2)[real])
+
     def test_bf16(self):
         q, k, v, seg, pos = make_packed_case([200, 56], 256, seed=5, dtype=jnp.bfloat16)
         scale = q.shape[-1] ** -0.5
