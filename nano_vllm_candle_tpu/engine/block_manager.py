@@ -111,6 +111,9 @@ class BlockManager:
         """Flat view of every rank's free list (inspection/tests)."""
         return [b for q in self.free_by_rank for b in q]
 
+    def num_free_blocks_rank(self, rank: int) -> int:
+        return len(self.free_by_rank[rank])
+
     @property
     def num_null_blocks(self) -> int:
         """Reserved null pages (one per dp rank)."""

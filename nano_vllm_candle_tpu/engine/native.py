@@ -134,6 +134,9 @@ class NativeBlockManager:
         """Reserved null pages (one per dp rank)."""
         return self.dp_ranks
 
+    def num_free_blocks_rank(self, rank: int) -> int:
+        return self._lib.bm_num_free_rank(self._h, rank)
+
     @staticmethod
     def _rank_of_seq(seq: Sequence) -> int:
         return getattr(seq, "home_rank", 0)

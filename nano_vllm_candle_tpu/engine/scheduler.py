@@ -194,14 +194,31 @@ class Scheduler:
         """Pin a decode slot (batch row) at admission. The slot determines
         the sequence's dp home rank — under a dp-sharded KV cache its pages
         must come from that rank's range, so the slot must be fixed BEFORE
-        allocation and held until finish/preemption. Smallest-free-first
-        keeps the choice deterministic across SPMD ranks."""
+        allocation and held until finish/preemption.
+
+        Among free slots, prefer the smallest one whose home rank's page
+        pool can hold the prompt (dp_ranks > 1: a pinned-smallest policy
+        would head-of-line-block admission behind one exhausted rank while
+        other ranks sit idle with free pages); fall back to the smallest
+        free slot. Both tie-breaks are deterministic across SPMD ranks
+        (identical scheduler state everywhere)."""
         if seq.slot is not None:
             return True
         if not self.free_slots:
             return False
         self.free_slots.sort()
-        seq.slot = self.free_slots.pop(0)
+        pick = None
+        if self.dp_ranks > 1:
+            bm = self.block_manager
+            for s in self.free_slots:
+                r = s // self.slots_per_rank
+                if bm.num_free_blocks_rank(r) >= seq.num_blocks:
+                    pick = s
+                    break
+        if pick is None:
+            pick = self.free_slots[0]
+        self.free_slots.remove(pick)
+        seq.slot = pick
         seq.home_rank = seq.slot // self.slots_per_rank
         return True
 
@@ -332,12 +349,19 @@ class Scheduler:
             n = self.extend_room(seq, K)
             preempted_self = False
             while not self.block_manager.can_extend(seq, n):
-                victim = self.running[-1]
+                # Preempting a victim homed on ANOTHER dp rank frees pages
+                # in the wrong pool (per-rank page ranges) — pick the
+                # last-scheduled victim on the starved sequence's OWN rank.
+                victim = next(
+                    (v for v in reversed(self.running)
+                     if v.home_rank == seq.home_rank),
+                    seq,
+                )
                 if victim is seq:
                     self._preempt(seq)
                     preempted_self = True
                     break
-                self.running.pop()
+                self.running.remove(victim)
                 self._preempt(victim)
             if preempted_self:
                 continue  # self was removed; index i now points at next seq

@@ -154,7 +154,15 @@ def host_band_tiles(seg_ids, T: int, block: int = 256) -> int:
     # first k tile containing any token of q tile's first segment
     cond = last[None, :] >= first[:, None]  # [Tq, Tk]
     ktstart = np.argmax(cond, axis=1)
-    width = int(np.max(np.arange(len(first)) - ktstart + 1))
+    # All-padding q tiles (first == INT_MAX) skip every k tile in-kernel
+    # (seg_ok is false) — excluding them here matters: their cond row is
+    # all-False, argmax gives ktstart 0, and a trailing bucket-padding
+    # tile would otherwise inflate the band to the full triangle (a
+    # half-filled 1024 bucket measured band 4 == no optimization at all).
+    real = first != np.iinfo(np.int32).max
+    if not real.any():
+        return 1
+    width = int(np.max((np.arange(len(first)) - ktstart + 1)[real]))
     bw = 1
     while bw < width:
         bw *= 2

@@ -553,18 +553,22 @@ def pallas_rows_commit_all(
     rowin = slot % G
     if fused is None:
         fused = _FUSED_DEFAULT
-    if fused and batched:
-        # VMEM footprint gate (round-4 advisor): the fused kernel's scratch
-        # (rbuf/obuf spanning ALL L layers per slot window, + f32 scale
-        # planes, + the whole [L, B, 2, nkv, hd] rows block) scales linearly
-        # with layer count. A deeper model / bf16 cache at large L would
-        # fail at compile time against the 100 MB vmem_limit; estimate the
-        # bytes and fall back to the per-layer batched kernel instead.
-        win_b = 2 * NBUF * L * 2 * nkv * G * hd * kv_cache.dtype.itemsize
-        plane_b = 2 * NBUF * L * 2 * nkv * ps * 4 if quantized else 0
-        rows_b = rows.size * rows.dtype.itemsize
-        if win_b + plane_b + rows_b > _FUSED_VMEM_BUDGET:
-            fused = False
+        if fused and batched:
+            # VMEM footprint gate (round-4 advisor), applied only to the
+            # DEFAULT resolution — an explicit fused=True is a hard request
+            # that should fail loudly at compile time, not silently
+            # validate the wrong kernel (tests force paths this way). The
+            # fused kernel's scratch (rbuf/obuf spanning ALL L layers per
+            # slot window, + f32 scale planes, + the whole
+            # [L, B, 2, nkv, hd] rows block) scales linearly with layer
+            # count; a deeper model / bf16 cache at large L would exceed
+            # the 100 MB vmem_limit — estimate the bytes and fall back to
+            # the per-layer batched kernel instead.
+            win_b = 2 * NBUF * L * 2 * nkv * G * hd * kv_cache.dtype.itemsize
+            plane_b = 2 * NBUF * L * 2 * nkv * ps * 4 if quantized else 0
+            rows_b = rows.size * rows.dtype.itemsize
+            if win_b + plane_b + rows_b > _FUSED_VMEM_BUDGET:
+                fused = False
     if fused and batched:
         return _rows_commit_all_fused(
             kv_cache, rows, pages, row8, rowin, kv_scale, interpret

@@ -220,7 +220,12 @@ def sharded_decode_attention(
 
     def body(q, kv, kvs, bt, n, k, v, li):
         if dp_shard:
-            bt = jnp.clip(bt - _page_base(kv), 0, _local_pages(kv) - 1)
+            # Foreign/padded pages read the local null page (reads are
+            # seq_len-masked; a high-side clamp would read a real page).
+            local = bt - _page_base(kv)
+            bt = jnp.where(
+                (local >= 0) & (local < _local_pages(kv)), local, 0
+            )
         if impl == "xla":
             kv_l = jax.lax.dynamic_index_in_dim(kv, li, 0, keepdims=False)
             kvs_l = (
@@ -279,9 +284,14 @@ def sharded_commit_rows(
 
     def body(kv, kvs, rows, slot):
         if dp_shard:
+            # Out-of-range slots (other ranks' pages — unreachable under
+            # the slot-pinning invariant, defensive) redirect to the LOCAL
+            # NULL page 0, never to a real page: a clamp would silently
+            # overwrite the last allocatable page's final row instead.
             ps = kv.shape[4]
-            slot = jnp.clip(
-                slot - _page_base(kv) * ps, 0, _local_pages(kv) * ps - 1
+            local = slot - _page_base(kv) * ps
+            slot = jnp.where(
+                (local >= 0) & (local < _local_pages(kv) * ps), local, 0
             )
         elif dp > 1:
             rows = jax.lax.all_gather(rows, "dp", axis=1, tiled=True)
@@ -367,9 +377,21 @@ def sharded_prefill_attention(
         base = _page_base(kv) if dp_shard else None
         xla = impl == "xla"
         if xla:
-            slot_l = slot if not dp_shard else slot - base * kv.shape[4]
-            # out-of-range (another rank's pages) slots go negative / past
-            # the local page count; the scatter's OOB mode drops them.
+            slot_l = slot
+            if dp_shard:
+                # Out-of-range (another rank's pages) slots are redirected
+                # to local_size — a POSITIVE out-of-bounds page index the
+                # scatter's mode="drop" actually drops. (A bare subtraction
+                # would leave NEGATIVE locals, and JAX scatter wraps
+                # negative indices NumPy-style even under mode="drop":
+                # rank r>0 would write rank r-1's prefill rows into its
+                # own live pages.)
+                ps_ = kv.shape[4]
+                local_size = _local_pages(kv) * ps_
+                slot_l = slot - base * ps_
+                slot_l = jnp.where(
+                    (slot_l >= 0) & (slot_l < local_size), slot_l, local_size
+                )
             kv, kvs = _write_kv(kv, kvs, k, v, slot_l, li)
         else:
             kv, kvs = _commit_prefill_groups(
@@ -390,7 +412,10 @@ def sharded_prefill_attention(
                 )
             bt_l = bt
             if dp_shard:
-                bt_l = jnp.clip(bt - base, 0, _local_pages(kv) - 1)
+                local = bt - base
+                bt_l = jnp.where(
+                    (local >= 0) & (local < _local_pages(kv)), local, 0
+                )
             if xla:
                 kv_l = jax.lax.dynamic_index_in_dim(kv, li, 0, keepdims=False)
                 kvs_l = (

@@ -263,6 +263,75 @@ def test_dp_sharded_kv_cache_matches_replicated(tiny_params, attn):
     assert gen(mesh, False) == base, f"{attn}: replicated KV diverged"
 
 
+@pytest.mark.parametrize("attn", ["xla", "pallas"])
+def test_dp_sharded_second_wave_prefill_no_corruption(tiny_params, attn):
+    """Regression (round-5 review): under a dp-sharded cache, a SECOND-wave
+    prefill homed on rank 0 must not corrupt rank 1's live pages. The XLA
+    commit path translated slots by bare subtraction and relied on
+    scatter mode='drop' for out-of-range rows — but JAX scatter WRAPS
+    negative indices NumPy-style even under drop, so rank 1 wrote rank 0's
+    prefill rows over its own decoding sequences' KV. Scenario: two short
+    rank-0 requests finish while a long rank-1 request decodes; a new
+    request then prefills into the freed rank-0 slot mid-decode."""
+    def run(mesh):
+        llm = LLM(
+            config=CFG,
+            params=tiny_params,
+            engine_config=EngineConfig(
+                max_num_seqs=4,
+                max_num_batched_tokens=128,
+                # TIGHT pools: 8 pages over dp=2 -> each rank owns 3 usable
+                # pages, so wave 2 re-uses a/b's low-numbered rank-0 pages
+                # — whose bare-subtraction local indices on rank 1 wrap
+                # onto c's PAST-history pages (the corruption the old code
+                # hid whenever reuse landed on not-yet-written offsets).
+                num_kvcache_blocks=8,
+                kvcache_block_size=8,
+                max_model_len=128,
+                dtype="float32",
+                kv_cache_dtype="float32",
+                prefill_buckets=(64, 128),
+                use_pallas_kernels=False,
+                attn_impl=attn,
+                decode_burst=2,
+                pipeline_depth=1,
+            ),
+            mesh=mesh,
+        )
+        eng = llm.engine
+        short = SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True)
+        long = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+        a = llm.add_request([3, 1, 4], short)   # slot 0 (rank 0), 1 page
+        b = llm.add_request([1, 5, 9], short)   # slot 1 (rank 0), 1 page
+        # slot 2 (rank 1): 12-token prompt = 2 full pages of history +
+        # 8 decode steps into a 3rd — its early pages are PAST reads.
+        c = llm.add_request([(i * 5) % 90 + 2 for i in range(12)], long)
+        done = {}
+        for _ in range(100):
+            for sid, toks in llm.step().outputs:
+                done[sid] = toks
+            if a in done and b in done:
+                break
+        assert a in done and b in done and c not in done
+        # Second wave: 17-token prompt takes all 3 rank-0 pages (incl. the
+        # two freed low ids) while c still decodes.
+        d = llm.add_request([(i * 7) % 90 + 3 for i in range(17)], short)
+
+        def collect(seqs):
+            for s in seqs:
+                if s.is_finished:
+                    done[s.seq_id] = list(s.completion_token_ids)
+
+        eng.run_until_done(collect)
+        assert llm.engine.metrics["runner_errors"] == 0
+        assert set(done) >= {a, b, c, d}
+        return [done[s] for s in (a, b, c, d)]
+
+    assert run(make_mesh(tp=1, dp=2)) == run(None), (
+        f"{attn}: second-wave prefill corrupted dp-sharded pages"
+    )
+
+
 class TestDistributed:
     """Multi-host scaffolding on the single-process virtual mesh."""
 
